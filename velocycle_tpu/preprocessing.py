@@ -1,0 +1,324 @@
+"""Preprocessing: AnnData + prior containers -> device-ready metaparameters.
+
+Functional parity with `/root/reference/velocycle/preprocessing.py:20-323`,
+re-designed for the TPU data path:
+
+  * All host work (sparse densification, design matrices, size factors) is
+    numpy; the result is a single `PhaseData`/`VelocityData` flax.struct
+    pytree whose array leaves are clean 2-D layouts — ``S, U: (Ng, Nc)``,
+    ``nu priors: (Ng, Nh)``, ``phi_xy: (Nc, 2)``, designs ``(Nb|Nx, Nc)`` —
+    instead of the reference's plate-broadcast singleton shapes
+    (``(Nb,1,1,1,Nc)``, `preprocessing.py:277`).
+  * One host->device transfer happens when jit consumes the pytree; nothing
+    in the training step touches the host again.
+  * The broken ``gene_selection_model="gmm"`` dispatch in the reference
+    (NameError, `preprocessing.py:162-166`) is deliberately not reproduced;
+    supported selectors are "all" and "lba".
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .containers import AngularSpeed, Cycle, Phases, reorder
+from .models.metapars import Metapars, PhaseData, VelocityData
+
+__all__ = [
+    "filter_shared_genes",
+    "make_design_matrix",
+    "normalize_total",
+    "preprocess_for_phase_estimation",
+    "preprocess_for_velocity_estimation",
+]
+
+
+def _dense(x):
+    return np.asarray(x.todense()) if hasattr(x, "todense") else np.asarray(x)
+
+
+def filter_shared_genes(cycle, data, filter_type="intersection"):
+    """Subset a Cycle and an AnnData to a common, sorted gene set
+    (`preprocessing.py:20-63`).
+
+    "intersection" keeps genes present in both; "union" keeps all AnnData
+    genes, extending the Cycle with flat priors for genes it lacks (and
+    requires every Cycle gene to exist in the AnnData).
+    """
+    cycle_genes = set(cycle.genes)
+    data_genes = set(data.var.index)
+    if filter_type == "intersection":
+        keep = np.sort(np.array(list(cycle_genes & data_genes)))
+        new_data = data[:, list(keep)].copy()
+        new_cycle = Cycle.from_array(
+            means_array=cycle.means[keep].values,
+            stds_array=cycle.stds[keep].values,
+            gene_names=list(keep),
+        )
+    elif filter_type == "union":
+        missing = cycle_genes - data_genes
+        if missing:
+            raise ValueError(
+                f"Cycle genes not present in the AnnData: {sorted(missing)[:5]}"
+            )
+        keep = np.sort(np.array(list(cycle_genes | data_genes)))
+        new_data = data[:, list(keep)].copy()
+        new_cycle = cycle.copy()
+        new_cycle.extend(names=sorted(data_genes - cycle_genes))
+        new_cycle = reorder(new_cycle, list(keep))
+    else:
+        raise ValueError(f"invalid filter_type {filter_type!r}")
+    return new_cycle, new_data
+
+
+def make_design_matrix(adata, ids="batch"):
+    """One-hot design matrix (Nc, Nk) from a categorical obs column
+    (`preprocessing.py:65-93`).  Column order = order of first appearance."""
+    if ids not in adata.obs.columns:
+        raise ValueError(f"{ids!r} is not a column of adata.obs")
+    values = np.asarray(adata.obs[ids])
+    _, first_idx = np.unique(values, return_index=True)
+    categories = values[np.sort(first_idx)]
+    return (values[:, None] == categories[None, :]).astype(np.int64)
+
+
+def normalize_total(adata):
+    """Add size-normalized layers ``S_sz``/``U_sz`` and per-cell totals
+    ``n_scounts``/``n_ucounts`` (`preprocessing.py:95-101`).  In place."""
+    S = _dense(adata.layers["spliced"])
+    U = _dense(adata.layers["unspliced"])
+    adata.obs["n_scounts"] = S.sum(1)
+    adata.obs["n_ucounts"] = U.sum(1)
+    adata.layers["S_sz"] = S * (
+        adata.obs["n_scounts"].mean() / adata.obs["n_scounts"].values
+    )[:, None]
+    adata.layers["U_sz"] = U * (
+        adata.obs["n_ucounts"].mean() / adata.obs["n_ucounts"].values
+    )[:, None]
+
+
+def _extract_counts(adata, normalize):
+    """(S, U) as dense (Nc, Ng) float arrays."""
+    if normalize:
+        if "S_sz" not in adata.layers or "U_sz" not in adata.layers:
+            normalize_total(adata)
+        return (
+            np.asarray(adata.layers["S_sz"], dtype=np.float32),
+            np.asarray(adata.layers["U_sz"], dtype=np.float32),
+        )
+    return (
+        _dense(adata.layers["spliced"]).astype(np.float32),
+        _dense(adata.layers["unspliced"]).astype(np.float32),
+    )
+
+
+def preprocess_for_phase_estimation(
+    adata,
+    cycle_obj: Cycle,
+    phase_obj: Phases,
+    design_mtx=None,
+    n_harmonics: int = 2,
+    gene_selection_model: str = "all",
+    normalize: bool = False,
+    noisemodel: str = "NegativeBinomial",
+    with_delta_nu: bool = True,
+    condition_on=None,
+    mu_dnu: float = 0.0,
+    sd_dnu=0.5,
+    gamma_alpha: float = 1.0,
+    gamma_beta: float = 2.0,
+    beta0: float = 0.10,
+    beta1: float = 0.90,
+):
+    """Assemble `Metapars` for manifold-learning
+    (`preprocessing.py:103-205`).
+
+    Returns a `Metapars` whose ``.data`` is a `PhaseData` pytree; model and
+    guide callables are chosen by ``gene_selection_model`` ("all" or "lba").
+    """
+    from .models import (
+        phase_guide, phase_guide_lba, phase_model, phase_model_lba,
+    )
+
+    S, U = _extract_counts(adata, normalize)
+    s_umi = _dense(adata.layers["spliced"]).sum(1).astype(np.float32)
+    count_factor = np.log(s_umi / s_umi.mean())
+
+    adata.layers["logS"] = np.log(S + 1 + 1e-16)
+    adata.layers["logU"] = np.log(U + 1 + 1e-16)
+
+    if design_mtx is None:
+        design_mtx = np.ones((adata.shape[0], 1), dtype=np.int64)
+    design_mtx = np.asarray(design_mtx)
+
+    if gene_selection_model == "all":
+        model_fn, guide_fn = phase_model, phase_guide
+    elif gene_selection_model == "lba":
+        model_fn, guide_fn = phase_model_lba, phase_guide_lba
+    else:
+        raise ValueError(
+            f"{gene_selection_model=} is not a valid model; use 'all'|'lba'"
+        )
+
+    Ng, Nc, Nb = len(cycle_obj), len(phase_obj), design_mtx.shape[-1]
+    sd_dnu_arr = np.broadcast_to(
+        np.asarray(sd_dnu, np.float32), (Nb,)
+    ).reshape(Nb, 1)
+    data = PhaseData(
+        S=S.T,
+        logS=np.asarray(adata.layers["logS"], np.float32).T,
+        count_factor=count_factor,
+        mu_nu=cycle_obj.means_array,
+        sd_nu=cycle_obj.stds_array,
+        phixy_prior=phase_obj.phi_xy_array,
+        Db=design_mtx.T.astype(np.float32),
+        mu_dnu=np.float32(mu_dnu),
+        sd_dnu=sd_dnu_arr,
+        gamma_alpha=np.float32(gamma_alpha),
+        gamma_beta=np.float32(gamma_beta),
+        sigma_gc=np.float32(0.5),
+        beta0=np.float32(beta0),
+        beta1=np.float32(beta1),
+        Ng=Ng,
+        Nc=Nc,
+        Nb=Nb,
+        num_harmonics_S=n_harmonics,
+        noisemodel=noisemodel,
+        with_delta_nu=with_delta_nu,
+        gene_selection_model=gene_selection_model,
+    )
+    return Metapars(
+        data=data,
+        model_fn=model_fn,
+        guide_fn=guide_fn,
+        cycle_prior=cycle_obj,
+        phase_prior=phase_obj,
+        condition=list((condition_on or {}).keys()),
+        extras={"condition_on": dict(condition_on or {})},
+    )
+
+
+def preprocess_for_velocity_estimation(
+    adata,
+    cycle_obj: Cycle,
+    phase_obj: Phases,
+    speed_obj: AngularSpeed,
+    condition_design_mtx=None,
+    batch_design_mtx=None,
+    n_harmonics: int = 2,
+    omega_n_harmonics: int | None = None,
+    normalize: bool = False,
+    behavior: str = "intersection",
+    noisemodel: str = "NegativeBinomial",
+    with_delta_nu: bool = True,
+    condition_on=None,
+    count_factor=0.0,
+    mu_gamma: float = 0.0,
+    sd_gamma: float = 0.5,
+    mu_beta: float = 2.0,
+    sd_beta: float = 3.0,
+    mu_dnu: float = 0.0,
+    sd_dnu=0.1,
+    gamma_alpha: float = 1.0,
+    gamma_beta: float = 2.0,
+    model_type: str = "lrmn",
+    rho_mean: float = 4.0,
+    rho_std: float = 1.0,
+    rho_scale: float = 1.0,
+    rho_rank: int = 5,
+):
+    """Assemble `Metapars` for velocity-learning
+    (`preprocessing.py:207-323`).  Gene filtering against the Cycle happens
+    here (`preprocessing.py:241`); ``model_type`` selects the mean-field or
+    LRMN guide."""
+    from .models import velocity_guide, velocity_guide_lrmn, velocity_model
+
+    if omega_n_harmonics is None:
+        omega_n_harmonics = speed_obj.harmonics
+    if speed_obj.harmonics != omega_n_harmonics:
+        raise ValueError(
+            f"speed prior has {speed_obj.harmonics} harmonics but "
+            f"omega_n_harmonics={omega_n_harmonics}"
+        )
+    cycle_obj, adata = filter_shared_genes(
+        cycle_obj, adata, filter_type=behavior
+    )
+    S, U = _extract_counts(adata, normalize)
+    adata.layers["logS"] = np.log(S + 1 + 1e-16)
+    adata.layers["logU"] = np.log(U + 1 + 1e-16)
+
+    Nc = len(phase_obj)
+    if condition_design_mtx is None:
+        condition_design_mtx = np.ones((Nc, 1), dtype=np.int64)
+    if batch_design_mtx is None:
+        batch_design_mtx = np.ones((Nc, 1), dtype=np.int64)
+    condition_design_mtx = np.asarray(condition_design_mtx)
+    batch_design_mtx = np.asarray(batch_design_mtx)
+
+    if model_type == "lrmn":
+        guide_fn = velocity_guide_lrmn
+    elif model_type in ("fourier", "meanfield", "all"):
+        guide_fn = velocity_guide
+    else:
+        raise ValueError(
+            f"{model_type=} is not valid; use 'lrmn' or 'fourier'"
+        )
+    model_fn = velocity_model
+
+    Ng = len(cycle_obj)
+    Nb = batch_design_mtx.shape[-1]
+    Nx = condition_design_mtx.shape[-1]
+    Nhw = 2 * omega_n_harmonics + 1
+    sd_dnu_arr = np.broadcast_to(
+        np.asarray(sd_dnu, np.float32), (Nb,)
+    ).reshape(Nb, 1)
+
+    data = VelocityData(
+        S=S.T,
+        U=U.T,
+        logS=np.asarray(adata.layers["logS"], np.float32).T,
+        logU=np.asarray(adata.layers["logU"], np.float32).T,
+        count_factor=np.broadcast_to(
+            np.asarray(count_factor, np.float32), (Nc,)
+        ).copy(),
+        mu_nu=cycle_obj.means_array,
+        sd_nu=cycle_obj.stds_array,
+        phixy_prior=phase_obj.phi_xy_array,
+        D=condition_design_mtx.T.astype(np.float32),
+        Db=batch_design_mtx.T.astype(np.float32),
+        mu_dnu=np.float32(mu_dnu),
+        sd_dnu=sd_dnu_arr,
+        mu_gamma=np.full((Ng,), mu_gamma, np.float32),
+        sd_gamma=np.full((Ng,), sd_gamma, np.float32),
+        mu_beta=np.full((Ng,), mu_beta, np.float32),
+        sd_beta=np.full((Ng,), sd_beta, np.float32),
+        mu_nuomega=speed_obj.means_array,  # (Nx, Nhw)
+        sd_nuomega=speed_obj.stds_array,
+        gamma_alpha=np.float32(gamma_alpha),
+        gamma_beta=np.float32(gamma_beta),
+        sigma_s_gc=np.float32(0.1),
+        sigma_u_gc=np.float32(0.1),
+        rho_mean=np.float32(rho_mean),
+        rho_std=np.float32(rho_std),
+        rho_scale=np.float32(rho_scale),
+        Ng=Ng,
+        Nc=Nc,
+        Nb=Nb,
+        Nx=Nx,
+        Nhw=Nhw,
+        num_harmonics_S=n_harmonics,
+        omega_harmonics=omega_n_harmonics,
+        noisemodel=noisemodel,
+        with_delta_nu=with_delta_nu,
+        model_type=model_type,
+        rho_rank=rho_rank,
+    )
+    return Metapars(
+        data=data,
+        model_fn=model_fn,
+        guide_fn=guide_fn,
+        cycle_prior=cycle_obj,
+        phase_prior=phase_obj,
+        speed_prior=speed_obj,
+        condition=list((condition_on or {}).keys()),
+        extras={"condition_on": dict(condition_on or {}), "adata": adata},
+    )
