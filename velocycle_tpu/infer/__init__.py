@@ -1,3 +1,6 @@
 from .elbo import Trace_ELBO  # noqa: F401
 from .svi import SVI, init_params  # noqa: F401
 from .optim import clipped_adam, adam  # noqa: F401
+from .autoguide import AutoDelta, AutoNormal  # noqa: F401
+from .predictive import Predictive  # noqa: F401
+from .mcmc import MCMC, hmc, init_model, nuts  # noqa: F401

@@ -37,6 +37,8 @@ from ..core import handlers
 
 __all__ = ["init_model", "hmc", "nuts", "MCMC"]
 
+_DEBUG = False
+
 
 # ---------------------------------------------------------------------------
 # model -> potential function over a flat unconstrained vector
@@ -47,6 +49,7 @@ class ModelInfo(NamedTuple):
     unflatten: callable           # flat_u -> {site: constrained value}
     init_u: jnp.ndarray           # a flat init point
     site_meta: dict               # {site: (shape, size, constraint)}
+    wrap_fn: callable = None      # flat_u -> flat_u with S^1 coords wrapped
 
 
 def init_model(model, *args, key=None, init_strategy="prior", **kwargs):
@@ -86,6 +89,25 @@ def init_model(model, *args, key=None, init_strategy="prior", **kwargs):
             i += size
         return out
 
+    circular_mask_parts = []
+    for name, (shape, size, constraint) in site_meta.items():
+        circular_mask_parts.append(
+            jnp.full((size,), constraint.name == "circular")
+        )
+    circular_mask = (
+        jnp.concatenate(circular_mask_parts) if circular_mask_parts
+        else jnp.zeros((0,), bool)
+    )
+
+    def wrap_fn(flat_u):
+        """Wrap circular coordinates back into [-pi, pi) — a measure-
+        preserving move for periodic potentials that keeps warmup variance
+        estimates finite when chains drift across period copies."""
+        import math
+
+        wrapped = jnp.mod(flat_u + math.pi, 2.0 * math.pi) - math.pi
+        return jnp.where(circular_mask, wrapped, flat_u)
+
     def potential_fn(flat_u):
         values = {}
         log_det = 0.0
@@ -108,7 +130,7 @@ def init_model(model, *args, key=None, init_strategy="prior", **kwargs):
             logp = logp + site["fn"].log_prob(site["value"]).sum()
         return -(logp + log_det)
 
-    return ModelInfo(potential_fn, unflatten, init_u, site_meta)
+    return ModelInfo(potential_fn, unflatten, init_u, site_meta, wrap_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -144,9 +166,16 @@ def _da_init(step_size):
 
 def _da_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0,
                kappa=0.75):
+    # a NaN accept stat (from a divergent transition) must not poison the
+    # averages — treat it as a full rejection
+    accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
     t = state.t + 1.0
     h_sum = state.h_sum + (target - accept_prob)
     log_step = state.mu - jnp.sqrt(t) / gamma * h_sum / (t + t0)
+    # keep the step within sane bounds: an unlucky warmup realization in a
+    # high-curvature region (funnel neck) must not drive the step to
+    # numerical zero and freeze the chain
+    log_step = jnp.clip(log_step, jnp.log(1e-5), jnp.log(1e2))
     eta = t ** (-kappa)
     log_step_avg = eta * log_step + (1 - eta) * state.log_step_avg
     return DAState(log_step, log_step_avg, h_sum, state.mu, t)
@@ -168,7 +197,9 @@ def _hmc_step(potential_fn, q, key, step_size, inv_mass, num_leapfrog):
     q_new, p_new = _leapfrog(grad, q, p, step_size, inv_mass, num_leapfrog)
     energy1 = potential_fn(q_new) + _kinetic(p_new, inv_mass)
     delta = energy0 - energy1
-    delta = jnp.where(jnp.isfinite(delta), delta, -jnp.inf)
+    delta = jnp.where(
+        jnp.isfinite(delta) & jnp.isfinite(jnp.sum(q_new)), delta, -jnp.inf
+    )
     accept_prob = jnp.minimum(1.0, jnp.exp(delta))
     accept = jax.random.uniform(k_acc) < accept_prob
     q = jnp.where(accept, q_new, q)
@@ -193,16 +224,46 @@ class _TreeState(NamedTuple):
     n_steps: jnp.ndarray
 
 
+def _popcount(i, nbits=16):
+    return sum(((i >> k) & 1) for k in range(nbits))
+
+
+def _trailing_zeros(i, nbits=16):
+    """Trailing zeros of a positive traced int."""
+    tz = jnp.zeros((), jnp.int32)
+    done = jnp.asarray(False)
+    for k in range(nbits):
+        bit = (i >> k) & 1
+        done = done | (bit == 1)
+        tz = tz + jnp.where(done, 0, 1)
+    return tz
+
+
 def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
                max_delta_energy=1000.0):
-    """One NUTS transition.  Doubling is implemented iteratively: at each
-    depth we extend the trajectory by 2^depth leapfrog steps in a random
-    direction, accumulating a multinomial proposal, and stop on a U-turn or
-    divergence."""
+    """One NUTS transition: iterative multinomial NUTS (Hoffman & Gelman
+    2014; multinomial state selection and generalized momentum-sum U-turn
+    criterion per Betancourt 2017), with per-subtree U-turn checks done
+    iteratively via a checkpoint stack (Phan & Pradhan's iterative
+    formulation, re-derived):
+
+    Within a new subtree of 2^depth leapfrog leaves, leaf j (0-based, in
+    build order) pushes (momentum r_j, prefix momentum sum before j) into
+    checkpoint slot popcount(j) when j is even; at odd leaf b every
+    complete binary subtree ending at b — spans [b+1-2^k, b] for
+    k=1..tz(b+1) — is checked against slots
+    [popcount(m'-1), popcount(m'-1)+K-1] (b+1 = m'*2^K), which provably
+    hold exactly those spans' start checkpoints (no overwrites: any even
+    leaf inside a span has a strictly larger popcount than the span
+    start).  Criterion per span with momentum sum R: turning iff
+    R.(M^-1 r_start) < 0 or R.(M^-1 r_end) < 0.
+    """
     grad = jax.grad(potential_fn)
-    k_mom, k_dir, k_prop = jax.random.split(key, 3)
+    k_mom, k_prop = jax.random.split(key)
     p0 = jax.random.normal(k_mom, q0.shape) / jnp.sqrt(inv_mass)
     energy0 = potential_fn(q0) + _kinetic(p0, inv_mass)
+    dim = q0.shape[0]
+    n_slots = max_depth + 1
 
     def leapfrog1(q, p, direction):
         eps = step_size * direction
@@ -211,94 +272,143 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
         p = p - 0.5 * eps * grad(q)
         return q, p
 
+    def span_turning(R, r_a, r_b):
+        return (jnp.dot(R, inv_mass * r_a) < 0) | (
+            jnp.dot(R, inv_mass * r_b) < 0
+        )
+
     def extend(carry, depth):
         state, key = carry
-        key, k_dir, k_sel, k_swap = jax.random.split(key, 4)
+        key, k_dir, k_sel, k_sub = jax.random.split(key, 4)
         direction = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0)
         n_new = 2 ** depth
 
-        # integrate 2^depth steps from the chosen end, accumulating a
-        # multinomial proposal over the new subtree
+        q_start = jnp.where(direction > 0, state.q_plus, state.q_minus)
+        p_start = jnp.where(direction > 0, state.p_plus, state.p_minus)
+
         def sub_body(i, sub):
-            (q, p, log_w_new, q_prop_new, sum_p_new, turning, diverging,
+            (q, p, log_w, q_prop, S, ckpt_r, ckpt_S, turning, diverging,
              sum_acc, key) = sub
             q, p = leapfrog1(q, p, direction)
             energy = potential_fn(q) + _kinetic(p, inv_mass)
             delta = energy - energy0
-            diverging = diverging | (delta > max_delta_energy)
+            diverging = diverging | (delta > max_delta_energy) | (
+                ~jnp.isfinite(delta)
+            )
             log_w_i = jnp.where(diverging, -jnp.inf, -delta)
-            accept_i = jnp.minimum(1.0, jnp.exp(-delta))
-            sum_acc = sum_acc + jnp.where(diverging, 0.0, accept_i)
-            # multinomial within the new subtree
+            sum_acc = sum_acc + jnp.where(
+                diverging, 0.0, jnp.minimum(1.0, jnp.exp(-delta))
+            )
+            # multinomial within the subtree
             key, k_i = jax.random.split(key)
-            log_w_tot = jnp.logaddexp(log_w_new, log_w_i)
+            log_w_tot = jnp.logaddexp(log_w, log_w_i)
             take = jnp.log(jax.random.uniform(k_i)) < (log_w_i - log_w_tot)
-            q_prop_new = jnp.where(take & ~diverging, q, q_prop_new)
-            sum_p_new = sum_p_new + p
-            return (q, p, log_w_tot, q_prop_new, sum_p_new, turning,
+            q_prop = jnp.where(take & ~diverging, q, q_prop)
+            log_w = log_w_tot
+
+            # checkpoint push at even leaves (prefix sum BEFORE this leaf)
+            slot = _popcount(i)
+            is_even = (i % 2) == 0
+            ckpt_r = jnp.where(
+                is_even,
+                ckpt_r.at[slot].set(p), ckpt_r,
+            )
+            ckpt_S = jnp.where(
+                is_even,
+                ckpt_S.at[slot].set(S), ckpt_S,
+            )
+            S = S + p
+
+            # U-turn checks at odd leaves for all complete subtrees ending
+            # here: slots [idx_min, idx_max]
+            K = _trailing_zeros(i + 1)
+            m_prime = (i + 1) >> K
+            idx_min = _popcount(m_prime - 1)
+            idx_max = idx_min + K - 1
+
+            def check_slot(s, turning):
+                in_range = (s >= idx_min) & (s <= idx_max)
+                R = S - ckpt_S[s]
+                t = span_turning(R, ckpt_r[s], p)
+                return turning | (in_range & t)
+
+            is_odd = (i % 2) == 1
+            turning_new = jax.lax.fori_loop(
+                0, n_slots, check_slot, jnp.asarray(False)
+            )
+            turning = turning | (is_odd & turning_new)
+            return (q, p, log_w, q_prop, S, ckpt_r, ckpt_S, turning,
                     diverging, sum_acc, key)
 
-        q_start = jnp.where(direction > 0, state.q_plus, state.q_minus)
-        p_start = jnp.where(direction > 0, state.p_plus, state.p_minus)
-        sub0 = (q_start, p_start, -jnp.inf, q_start,
-                jnp.zeros_like(q_start), jnp.asarray(False),
-                state.diverging, jnp.zeros(()), key)
-        (q_end, p_end, log_w_new, q_prop_new, sum_p_new, _, diverging,
-         sum_acc_new, key) = jax.lax.fori_loop(0, n_new, sub_body, sub0)
+        sub0 = (
+            q_start, p_start, -jnp.inf, q_start, jnp.zeros((dim,)),
+            jnp.zeros((n_slots, dim)), jnp.zeros((n_slots, dim)),
+            jnp.asarray(False), state.diverging, jnp.zeros(()), k_sub,
+        )
+        (q_end, p_end, log_w_new, q_prop_new, S_new, _, _, sub_turning,
+         diverging, sum_acc_new, _) = jax.lax.fori_loop(
+            0, n_new, sub_body, sub0
+        )
 
-        # update tree ends
+        # update trajectory ends
         q_minus = jnp.where(direction > 0, state.q_minus, q_end)
         p_minus = jnp.where(direction > 0, state.p_minus, p_end)
         q_plus = jnp.where(direction > 0, q_end, state.q_plus)
         p_plus = jnp.where(direction > 0, p_end, state.p_plus)
 
-        # multinomial merge of old tree and new subtree (biased progressive:
-        # accept new with prob w_new / w_old, as in Betancourt 2017)
+        # biased-progressive multinomial merge: accept the new subtree's
+        # proposal with prob min(1, w_new / w_old)
         log_w_tot = jnp.logaddexp(state.log_weight, log_w_new)
         take_new = (
             jnp.log(jax.random.uniform(k_sel))
             < (log_w_new - state.log_weight)
         )
         q_prop = jnp.where(take_new & ~diverging, q_prop_new, state.q_prop)
+        if _DEBUG:
+            jax.debug.print(
+                "depth={d} lwnew={w:.3f} take={t} subturn={st} q_end0={q:.3f}",
+                d=depth, w=log_w_new, t=take_new, st=sub_turning, q=q_end[0],
+            )
 
-        # U-turn check across the full trajectory (generalized criterion)
-        sum_p = state.sum_p + sum_p_new
-        dq = q_plus - q_minus
-        turning = (
-            (jnp.dot(dq, inv_mass * p_minus) < 0)
-            | (jnp.dot(dq, inv_mass * p_plus) < 0)
-        )
-        stop = state.turning | turning | diverging
+        # full-trajectory U-turn (generalized momentum-sum criterion)
+        sum_p = state.sum_p + S_new
+        traj_turning = span_turning(sum_p, p_minus, p_plus)
+        invalid = sub_turning | traj_turning | diverging
+        if _DEBUG:
+            jax.debug.print("  trajturn={tt} invalid={iv} frozen_before={fb}",
+                            tt=traj_turning, iv=invalid,
+                            fb=state.turning | state.diverging)
+
         new_state = _TreeState(
             q_minus, p_minus, q_plus, p_plus,
-            jnp.where(stop & ~diverging, state.q_prop, q_prop),
-            jnp.where(stop, state.log_weight, log_w_tot),
+            # a turning/diverging subtree's proposal is rejected
+            jnp.where(invalid, state.q_prop, q_prop),
+            jnp.where(invalid, state.log_weight, log_w_tot),
             sum_p,
-            state.turning | turning,
+            state.turning | invalid,
             diverging,
             state.sum_accept + sum_acc_new,
-            state.n_steps + jnp.where(stop, 0, n_new),
+            state.n_steps + n_new,
         )
-        # freeze the state once stopped
+        # once stopped, freeze everything
         frozen = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(state.turning | state.diverging,
-                                       old, new),
+            lambda old, new: jnp.where(
+                state.turning | state.diverging, old, new
+            ),
             state, new_state,
         )
         return (frozen, key), None
 
     init = _TreeState(
-        q0, p0, q0, p0, q0, -(potential_fn(q0) + _kinetic(p0, inv_mass))
-        - (-energy0) + 0.0 * energy0,  # = 0: log weight of the root
+        q0, p0, q0, p0, q0,
+        jnp.zeros(()),            # root log weight: exp(-(E0-E0)) = 1
         p0, jnp.asarray(False), jnp.asarray(False), jnp.zeros(()),
         jnp.ones(()),
     )
-    # root log weight: exp(-(E - E0)) = 1 -> log 1 = 0
-    init = init._replace(log_weight=jnp.zeros(()))
     (final, _), _ = jax.lax.scan(
         extend, (init, k_prop), jnp.arange(max_depth)
     )
-    accept_prob = final.sum_accept / jnp.maximum(final.n_steps, 1.0)
+    accept_prob = final.sum_accept / jnp.maximum(final.n_steps - 1.0, 1.0)
     return final.q_prop, accept_prob
 
 
@@ -307,16 +417,23 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
 # ---------------------------------------------------------------------------
 
 def _warmup_and_sample(step_fn, potential_fn, q0, key, num_warmup,
-                       num_samples, step_size, adapt_mass):
+                       num_samples, step_size, adapt_mass, wrap_fn=None):
     """Generic driver: dual-averaging warmup (with a crude diagonal mass
     estimate from the second half of warmup), then sampling.  Entirely
     `lax.scan`; returns (samples (num_samples, dim), accept_probs)."""
     dim = q0.shape[0]
     inv_mass0 = jnp.ones((dim,))
 
+    if wrap_fn is None:
+        wrap_fn = lambda q: q
+
     def warm_body(carry, key):
         q, da, inv_mass, w_mean, w_m2, count = carry
-        q, accept_prob = step_fn(q, key, jnp.exp(da.log_step), inv_mass)
+        q_new, accept_prob = step_fn(q, key, jnp.exp(da.log_step), inv_mass)
+        # reject non-finite states outright: NaN must never become an
+        # absorbing state of the chain
+        q = jnp.where(jnp.isfinite(q_new).all(), q_new, q)
+        q = wrap_fn(q)
         da = _da_update(da, accept_prob)
         # Welford accumulation for the mass matrix
         count = count + 1
@@ -326,30 +443,45 @@ def _warmup_and_sample(step_fn, potential_fn, q0, key, num_warmup,
         return (q, da, inv_mass, w_mean, w_m2, count), accept_prob
 
     da0 = _da_init(step_size)
-    keys_w = jax.random.split(key, num_warmup + num_samples + 1)
-    half = num_warmup // 2
+    # three warmup windows (Stan-style): (1) step-size only, (2) step size
+    # + variance collection, (3) re-adapt the step size under the NEW mass
+    # (switching the metric invalidates the old step size)
+    n1 = max(num_warmup * 2 // 5, 1)
+    n2 = max(num_warmup * 2 // 5, 1)
+    n3 = max(num_warmup - n1 - n2, 1)
+    keys_w = jax.random.split(key, n1 + n2 + n3 + num_samples)
 
-    # phase 1: adapt step size only
     carry = (q0, da0, inv_mass0, jnp.zeros((dim,)), jnp.zeros((dim,)),
              jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry, keys_w[:half])
+    carry, _ = jax.lax.scan(warm_body, carry, keys_w[:n1])
     q, da, inv_mass, _, _, _ = carry
-    # phase 2: adapt both; mass from phase-2 variance
+
     carry = (q, da, inv_mass, jnp.zeros((dim,)), jnp.zeros((dim,)),
              jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry, keys_w[half:num_warmup])
+    carry, _ = jax.lax.scan(warm_body, carry, keys_w[n1:n1 + n2])
     q, da, inv_mass, w_mean, w_m2, count = carry
     if adapt_mass:
         var = w_m2 / jnp.maximum(count - 1.0, 1.0)
-        inv_mass = jnp.where(var > 1e-10, var, 1.0)
+        # Stan-style shrinkage toward a small diagonal: protects against a
+        # slow warmup chain collapsing the metric (tiny variance -> tiny
+        # mass -> frozen sampling)
+        var = (count / (count + 5.0)) * var + 1e-3 * (5.0 / (count + 5.0))
+        inv_mass = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
+
+    carry = (q, _da_init(jnp.exp(da.log_step_avg)), inv_mass,
+             jnp.zeros((dim,)), jnp.zeros((dim,)), jnp.zeros(()))
+    carry, _ = jax.lax.scan(warm_body, carry, keys_w[n1 + n2:n1 + n2 + n3])
+    q, da, inv_mass, _, _, _ = carry
     final_step = jnp.exp(da.log_step_avg)
 
     def sample_body(q, key):
-        q, accept_prob = step_fn(q, key, final_step, inv_mass)
+        q_new, accept_prob = step_fn(q, key, final_step, inv_mass)
+        q = jnp.where(jnp.isfinite(q_new).all(), q_new, q)
+        q = wrap_fn(q)
         return q, (q, accept_prob)
 
     _, (samples, accepts) = jax.lax.scan(
-        sample_body, q, keys_w[num_warmup:num_warmup + num_samples]
+        sample_body, q, keys_w[n1 + n2 + n3:]
     )
     return samples, accepts, final_step, inv_mass
 
@@ -365,6 +497,7 @@ def hmc(model_info: ModelInfo, key, num_warmup=500, num_samples=500,
     return _warmup_and_sample(
         step_fn, model_info.potential_fn, model_info.init_u, key,
         num_warmup, num_samples, step_size, adapt_mass,
+        model_info.wrap_fn,
     )
 
 
@@ -379,6 +512,7 @@ def nuts(model_info: ModelInfo, key, num_warmup=500, num_samples=500,
     return _warmup_and_sample(
         step_fn, model_info.potential_fn, model_info.init_u, key,
         num_warmup, num_samples, step_size, adapt_mass,
+        model_info.wrap_fn,
     )
 
 

@@ -63,7 +63,11 @@ def _observe_spliced(mp, ElogS):
     if mp.noisemodel == "NegativeBinomial":
         with plate("genes", mp.Ng, dim=-1):
             shape_inv = sample(
-                "shape_inv", dist.Gamma(mp.gamma_alpha, mp.gamma_beta)
+                "shape_inv",
+                dist.Gamma(
+                    jnp.broadcast_to(mp.gamma_alpha, (mp.Ng,)),
+                    jnp.broadcast_to(mp.gamma_beta, (mp.Ng,)),
+                ),
             )
         sample(
             "S",
@@ -164,8 +168,12 @@ def phase_model_lba(mp):
                     dist.Normal(jnp.zeros((mp.Nb, mp.Ng)), mp.sd_dnu),
                 )
         periodic_prob = sample(
-            "periodic_prob", dist.Beta(mp.beta0, mp.beta1)
-        )  # (Ng,) via broadcasting against the Beta prior scalars
+            "periodic_prob",
+            dist.Beta(
+                jnp.broadcast_to(mp.beta0, (mp.Ng,)),
+                jnp.broadcast_to(mp.beta1, (mp.Ng,)),
+            ),
+        )  # (Ng,)
 
     with plate("cells", mp.Nc, dim=-1):
         phi_xy = sample(
@@ -181,7 +189,11 @@ def phase_model_lba(mp):
     if mp.noisemodel == "NegativeBinomial":
         with plate("genes", mp.Ng, dim=-1):
             shape_inv = sample(
-                "shape_inv", dist.Gamma(mp.gamma_alpha, mp.gamma_beta)
+                "shape_inv",
+                dist.Gamma(
+                    jnp.broadcast_to(mp.gamma_alpha, (mp.Ng,)),
+                    jnp.broadcast_to(mp.gamma_beta, (mp.Ng,)),
+                ),
             )
     else:
         shape_inv = None

@@ -87,7 +87,11 @@ def _observe_counts(mp, ElogS, ElogU):
     elif mp.noisemodel == "NegativeBinomial":
         with plate("genes", mp.Ng, dim=-1):
             shape_inv = sample(
-                "shape_inv", dist.Gamma(mp.gamma_alpha, mp.gamma_beta)
+                "shape_inv",
+                dist.Gamma(
+                    jnp.broadcast_to(mp.gamma_alpha, (mp.Ng,)),
+                    jnp.broadcast_to(mp.gamma_beta, (mp.Ng,)),
+                ),
             )
         r = shape_inv[:, None]
         sample(
