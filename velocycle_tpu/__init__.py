@@ -9,8 +9,9 @@ single fused XLA programs, the cell axis shards over a device mesh.
 
 __version__ = "0.1.0"
 
-from . import core, infer, models, ops  # noqa: F401
+from . import core, infer, models, ops, parallel, twodim  # noqa: F401
 from . import containers, genes, preprocessing, simulate  # noqa: F401
+from . import checkpoint, plots, profiling  # noqa: F401
 from .anndata_lite import AnnDataLite  # noqa: F401
 from .containers import AngularSpeed, Cycle, Phases  # noqa: F401
 from .fit import PhaseFitModel, VelocityFitModel  # noqa: F401

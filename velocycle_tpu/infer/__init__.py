@@ -4,3 +4,4 @@ from .optim import clipped_adam, adam  # noqa: F401
 from .autoguide import AutoDelta, AutoNormal  # noqa: F401
 from .predictive import Predictive  # noqa: F401
 from .mcmc import MCMC, hmc, init_model, nuts  # noqa: F401
+from .smc import SMC, init_tempered_model  # noqa: F401

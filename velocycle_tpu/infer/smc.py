@@ -1,0 +1,278 @@
+"""Sequential Monte Carlo sampler (likelihood-tempered SMC).
+
+Inference engine #3 (BASELINE.json config #5: "cell-axis sharding + SMC
+particle backend") — no reference equivalent; the reference is SVI-only.
+
+Del Moral-style adaptive tempering:
+
+  1. particles ~ prior (unconstrained space, via the same bijections as
+     MCMC);
+  2. anneal the likelihood exponent beta: 0 -> 1, each increment chosen by
+     bisection so the effective sample size of the incremental weights
+     stays at ``target_ess`` (a `lax.while_loop` inside the compiled
+     step);
+  3. systematic resampling;
+  4. rejuvenation: a few HMC transitions at the current tempered
+     posterior.
+
+TPU-first: particles are the leading axis of every array — a `vmap` batch
+on one chip, a sharded axis over a ``("particles",)`` mesh on many.  Under
+pjit the resampling gather and the ESS/log-mean-exp reductions lower to
+XLA collectives; nothing in this file is device-count aware.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import constraints as C
+from ..core import handlers
+from .mcmc import _hmc_step
+
+__all__ = ["SMC", "init_tempered_model"]
+
+
+class TemperedModel(NamedTuple):
+    log_prior_fn: callable     # flat_u -> log p(latents) + log|J|
+    log_lik_fn: callable       # flat_u -> log p(observed | latents)
+    unflatten: callable
+    sample_prior_u: callable   # key -> flat_u  (one prior draw)
+    dim: int
+
+
+def init_tempered_model(model, *args, key=None, **kwargs):
+    """Split the model's joint into prior and likelihood parts over a flat
+    unconstrained vector (observed sites = likelihood; latent sites =
+    prior, with bijection Jacobians)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    tr = handlers.trace(handlers.seed(model, key)).get_trace(*args, **kwargs)
+
+    site_meta = {}
+    for name, site in tr.items():
+        if site["type"] != "sample" or site["is_observed"]:
+            continue
+        if site.get("infer", {}).get("is_auxiliary"):
+            continue
+        value = jnp.asarray(site["value"], jnp.float32)
+        constraint = C.biject_to(getattr(site["fn"], "support", "real"))
+        site_meta[name] = (value.shape, int(value.size), constraint)
+    dim = sum(size for _, size, _ in site_meta.values())
+
+    def _values_and_logdet(flat_u):
+        values = {}
+        log_det = 0.0
+        i = 0
+        for name, (shape, size, constraint) in site_meta.items():
+            u = flat_u[i:i + size].reshape(shape)
+            values[name] = constraint.forward(u)
+            log_det = log_det + constraint.log_abs_det_jacobian(u).sum()
+            i += size
+        return values, log_det
+
+    def _traced(flat_u):
+        values, log_det = _values_and_logdet(flat_u)
+        sub = handlers.substitute(model, data=values)
+        return handlers.trace(
+            handlers.seed(sub, jax.random.PRNGKey(0))
+        ).get_trace(*args, **kwargs), log_det
+
+    def log_prior_fn(flat_u):
+        tr, log_det = _traced(flat_u)
+        lp = log_det
+        for name, site in tr.items():
+            if site["type"] != "sample" or site["is_observed"]:
+                continue
+            if site.get("infer", {}).get("is_auxiliary"):
+                continue
+            lp = lp + site["fn"].log_prob(site["value"]).sum()
+        return lp
+
+    def log_lik_fn(flat_u):
+        tr, _ = _traced(flat_u)
+        ll = 0.0
+        for name, site in tr.items():
+            if site["type"] == "sample" and site["is_observed"]:
+                ll = ll + site["fn"].log_prob(site["value"]).sum()
+        return ll
+
+    def unflatten(flat_u):
+        values, _ = _values_and_logdet(flat_u)
+        return values
+
+    def sample_prior_u(key):
+        ptr = handlers.trace(handlers.seed(model, key)).get_trace(
+            *args, **kwargs
+        )
+        parts = []
+        for name, (shape, size, constraint) in site_meta.items():
+            v = jnp.asarray(ptr[name]["value"], jnp.float32)
+            parts.append(constraint.inverse(v).reshape(-1))
+        return jnp.concatenate(parts)
+
+    return TemperedModel(log_prior_fn, log_lik_fn, unflatten,
+                         sample_prior_u, dim)
+
+
+def _systematic_resample(key, log_weights, n):
+    """Systematic resampling: indices (n,) with O(1) random numbers."""
+    w = jax.nn.softmax(log_weights)
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    pts = (u0 + jnp.arange(n)) / n
+    return jnp.searchsorted(cum, pts)
+
+
+def _ess(log_w):
+    log_norm = jax.scipy.special.logsumexp(log_w)
+    w = jnp.exp(log_w - log_norm)
+    return 1.0 / jnp.sum(w * w)
+
+
+class SMC:
+    """Adaptive tempered SMC driver.
+
+    Example::
+
+        smc = SMC(model, num_particles=512)
+        state = smc.run(jax.random.PRNGKey(0), data)
+        samples = smc.get_samples()        # {site: (num_particles, ...)}
+        logZ = smc.log_evidence()
+    """
+
+    def __init__(self, model, num_particles=512, num_moves=3,
+                 target_ess=0.5, hmc_step_size=0.1, hmc_leapfrog=8,
+                 max_stages=50):
+        self.model = model
+        self.num_particles = num_particles
+        self.num_moves = num_moves
+        self.target_ess = target_ess
+        self.hmc_step_size = hmc_step_size
+        self.hmc_leapfrog = hmc_leapfrog
+        self.max_stages = max_stages
+        self.tempered = None
+        self._particles = None
+        self._log_Z = None
+        self._betas = None
+
+    def run(self, key, *args, **kwargs):
+        k_init, k_prior, k_run = jax.random.split(key, 3)
+        tm = init_tempered_model(self.model, *args, key=k_init, **kwargs)
+        self.tempered = tm
+        n = self.num_particles
+
+        prior_keys = jax.random.split(k_prior, n)
+        particles = jax.vmap(tm.sample_prior_u)(prior_keys)  # (n, dim)
+
+        log_lik_v = jax.vmap(tm.log_lik_fn)
+
+        def potential_at(beta):
+            def pot(u):
+                return -(tm.log_prior_fn(u) + beta * tm.log_lik_fn(u))
+            return pot
+
+        def next_beta(beta, loglik):
+            """Largest delta with ESS(delta * loglik) >= target via
+            bisection."""
+            target = self.target_ess * n
+
+            def ess_at(b):
+                return _ess((b - beta) * loglik)
+
+            def cond(carry):
+                lo, hi, it = carry
+                return (it < 30) & ((hi - lo) > 1e-4)
+
+            def body(carry):
+                lo, hi, it = carry
+                mid = 0.5 * (lo + hi)
+                ok = ess_at(mid) >= target
+                return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid),
+                        it + 1)
+
+            full = ess_at(1.0) >= target
+            lo, hi, _ = jax.lax.while_loop(
+                cond, body, (beta, jnp.asarray(1.0), 0)
+            )
+            return jnp.where(full, 1.0, lo)
+
+        @jax.jit
+        def stage(carry, key):
+            particles, beta, log_Z, done = carry
+            k_res, k_move = jax.random.split(key)
+            loglik = log_lik_v(particles)                      # (n,)
+            new_beta = next_beta(beta, loglik)
+            delta = new_beta - beta
+            log_w = delta * loglik
+            # evidence increment: log mean exp of the incremental weights
+            log_Z_inc = (
+                jax.scipy.special.logsumexp(log_w) - jnp.log(float(n))
+            )
+            idx = _systematic_resample(k_res, log_w, n)
+            particles = jnp.where(done, particles, particles[idx])
+
+            # rejuvenation: HMC at the new tempered posterior
+            pot = potential_at(new_beta)
+            inv_mass = jnp.maximum(
+                jnp.var(particles, axis=0), 1e-6
+            )
+
+            def move(u, k):
+                def one(u, kk):
+                    u, _ = _hmc_step(
+                        pot, u, kk, self.hmc_step_size, inv_mass,
+                        self.hmc_leapfrog,
+                    )
+                    return u, None
+                u, _ = jax.lax.scan(
+                    one, u, jax.random.split(k, self.num_moves)
+                )
+                return u
+
+            moved = jax.vmap(move)(
+                particles, jax.random.split(k_move, n)
+            )
+            particles = jnp.where(done, particles, moved)
+            log_Z = jnp.where(done, log_Z, log_Z + log_Z_inc)
+            new_done = done | (new_beta >= 1.0)
+            return (
+                particles,
+                jnp.where(done, beta, new_beta),
+                log_Z,
+                new_done,
+            ), jnp.where(done, jnp.nan, new_beta)
+
+        carry = (particles, jnp.asarray(0.0), jnp.asarray(0.0),
+                 jnp.asarray(False))
+        keys = jax.random.split(k_run, self.max_stages)
+
+        @jax.jit
+        def run_all(carry, keys):
+            return jax.lax.scan(stage, carry, keys)
+
+        (particles, beta, log_Z, done), betas = run_all(carry, keys)
+        if not bool(jax.device_get(done)):
+            raise RuntimeError(
+                f"SMC did not reach beta=1 in {self.max_stages} stages "
+                f"(beta={float(jax.device_get(beta)):.4f}); increase "
+                "max_stages or target_ess"
+            )
+        self._particles = particles
+        self._log_Z = float(jax.device_get(log_Z))
+        self._betas = np.asarray(jax.device_get(betas))
+        return self
+
+    def get_samples(self):
+        out = jax.vmap(self.tempered.unflatten)(self._particles)
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+    def log_evidence(self):
+        return self._log_Z
+
+    @property
+    def temperature_schedule(self):
+        b = self._betas
+        return b[np.isfinite(b)]

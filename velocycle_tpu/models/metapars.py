@@ -58,6 +58,9 @@ class PhaseData:
         pytree_node=False, default="all"
     )
     basis_kind: str = struct.field(pytree_node=False, default="fourier")
+    # Pallas fused NB likelihood (ops/nb_kernels.py); only used when
+    # noisemodel == NegativeBinomial and with_delta_nu is False
+    use_fused_nb: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

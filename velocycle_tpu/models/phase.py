@@ -105,6 +105,31 @@ def phase_model(mp):
     deterministic("phi", phi)
     deterministic("zeta", zeta)
 
+    if (
+        mp.use_fused_nb
+        and mp.noisemodel == "NegativeBinomial"
+        and not mp.with_delta_nu
+    ):
+        # Pallas fast path: matmul + NB log-pmf + reduction in one kernel,
+        # no (Ng, Nc) ElogS intermediate in HBM (ops/nb_kernels.py).
+        from ..ops.nb_kernels import nb_loglik_fused
+
+        with plate("genes", mp.Ng, dim=-1):
+            shape_inv = sample(
+                "shape_inv",
+                dist.Gamma(
+                    jnp.broadcast_to(mp.gamma_alpha, (mp.Ng,)),
+                    jnp.broadcast_to(mp.gamma_beta, (mp.Ng,)),
+                ),
+            )
+        handlers.factor(
+            "S_fused",
+            nb_loglik_fused(
+                mp.S, nu, zeta, mp.count_factor, shape_inv
+            ),
+        )
+        return
+
     ElogS = _expected_log_s(nu, zeta, delta_nu, mp)
     deterministic("ElogS", ElogS)
     _observe_spliced(mp, ElogS)
