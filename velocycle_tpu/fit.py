@@ -26,13 +26,27 @@ from .containers import AngularSpeed, Cycle, Phases
 from .core import handlers
 from .infer import SVI, Trace_ELBO, clipped_adam
 from .infer.predictive import Predictive
-from .ops.fourier import fourier_basis
+from .models.basis import expression_basis, omega_basis
 
 __all__ = ["PhaseFitModel", "VelocityFitModel"]
 
 
 def _np(x):
     return np.asarray(jax.device_get(x))
+
+
+def _phases_from_params(p, mp):
+    """Posterior Phases from whichever phi parametrization the fit used:
+    ``phixy_locs`` (fourier/S^1), ``phi_locs`` (spline/interval), or the
+    prior unchanged when phi was conditioned."""
+    cells = mp.phase_prior.phi_xy.columns
+    if "phixy_locs" in p:
+        return Phases.from_array(p["phixy_locs"].T, cell_names=cells)
+    if "phi_locs" in p:
+        return Phases.from_angles(
+            np.asarray(p["phi_locs"]).reshape(-1), cell_names=cells
+        )
+    return mp.phase_prior.copy()
 
 
 class _FitModel:
@@ -180,15 +194,12 @@ class PhaseFitModel(_FitModel):
         )
         if "shape_inv_locs" in p:
             cycle.set_disp(p["shape_inv_locs"])
-        phixy = p["phixy_locs"]          # (Nc, 2)
-        phases = Phases.from_array(
-            phixy.T, cell_names=mp.phase_prior.phi_xy.columns
-        )
+        phases = _phases_from_params(p, mp)
         self.cycle_fit = cycle
         self.phase_fit = phases
         self.fourier_coef = nu_locs.T
         self.fourier_coef_sd = nu_scales.T
-        self.phis_fit = phixy.T
+        self.phis_fit = phases.phi_xy_array.T
         self.disp = p.get("shape_inv_locs")
         self.delta_nus = p.get("delta_nu_locs")
         if mp.gene_selection_model == "lba":
@@ -199,7 +210,9 @@ class PhaseFitModel(_FitModel):
 
     def _posterior_sites(self):
         mp = self.metaparams
-        rs = ["nu", "phi_xy", "phi", "zeta"]
+        rs = ["nu", "phi", "zeta"]
+        if mp.basis_kind == "fourier":
+            rs.insert(1, "phi_xy")
         if mp.noisemodel == "NegativeBinomial":
             rs.append("shape_inv")
         if mp.with_delta_nu and "delta_nu" not in self.condition_on:
@@ -216,7 +229,7 @@ class PhaseFitModel(_FitModel):
         # (`phase_inference_model.py:248-263`)
         nu = jnp.asarray(self.params["nu_locs"])
         phi = jnp.asarray(self.phase_fit.phis)
-        zeta = fourier_basis(phi, mp.num_harmonics_S)
+        zeta = expression_basis(mp.data, phi)
         base = nu @ zeta.T
         if mp.with_delta_nu and self.delta_nus is not None:
             base = base + jnp.einsum(
@@ -279,9 +292,7 @@ class VelocityFitModel(_FitModel):
         self.log_gamma_sd = log_gamma_sd
         self.log_beta_sd = p.get("log_beta_scales")
 
-        self.phase_fit = Phases.from_array(
-            p["phixy_locs"].T, cell_names=mp.phase_prior.phi_xy.columns
-        )
+        self.phase_fit = _phases_from_params(p, mp)
         self.speed_fit = AngularSpeed.from_array(
             nuw.T, nuw_sd.T,
             condition_names=mp.speed_prior.conditions,
@@ -296,10 +307,12 @@ class VelocityFitModel(_FitModel):
     def _posterior_sites(self):
         mp = self.metaparams
         rs = [
-            "log_gamma", "log_beta", "nu_omega", "gamma", "nu", "phi_xy",
+            "log_gamma", "log_beta", "nu_omega", "gamma", "nu",
             "phi", "zeta", "zeta_dphi", "zeta_omega", "omega",
             "ElogS", "ElogU",
         ]
+        if mp.basis_kind == "fourier":
+            rs.insert(5, "phi_xy")
         if mp.noisemodel == "NegativeBinomial":
             rs.append("shape_inv")
         if mp.with_delta_nu and "delta_nu" not in self.condition_on:
@@ -311,11 +324,15 @@ class VelocityFitModel(_FitModel):
 
     def period_hours(self, total_hours=None, n_grid=1000):
         """Cell-cycle period per condition: integral of 1/omega over the
-        circle (trapezoid), the statistic the tutorials compute via
+        manifold (trapezoid), the statistic the tutorials compute via
         ``trapz(1/omega)`` (Tutorial_*_OneSample.ipynb cells 63-64)."""
         mp = self.metaparams
-        grid = np.linspace(0, 2 * np.pi, n_grid, endpoint=False)
-        zeta_w = _np(fourier_basis(jnp.asarray(grid), mp.omega_harmonics))
+        if mp.basis_kind == "fourier":
+            grid = np.linspace(0, 2 * np.pi, n_grid, endpoint=False)
+        else:
+            lo, hi = mp.spline_domain
+            grid = np.linspace(lo, hi, n_grid)
+        zeta_w = _np(omega_basis(mp.data, jnp.asarray(grid)))
         nuw = self.speed_fit.means_array  # (Nx, Nhw)
         omega = nuw @ zeta_w.T            # (Nx, n_grid)
         periods = np.trapezoid(1.0 / omega, grid, axis=-1)

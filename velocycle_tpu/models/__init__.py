@@ -1,4 +1,10 @@
 from .metapars import PhaseData, VelocityData, Metapars  # noqa: F401
+from .basis import (  # noqa: F401
+    expression_basis,
+    guide_phi,
+    omega_basis,
+    sample_phi,
+)
 from .phase import (  # noqa: F401
     phase_model,
     phase_guide,

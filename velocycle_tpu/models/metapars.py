@@ -45,6 +45,8 @@ class PhaseData:
     sigma_gc: jnp.ndarray     # scalar Lognormal noise scale
     beta0: jnp.ndarray        # LBA Beta prior
     beta1: jnp.ndarray
+    # non-fourier (spline) path: prior location of the latent coordinate
+    phi_prior: jnp.ndarray = None  # (Nc,) or None
     # static config
     Ng: int = struct.field(pytree_node=False, default=0)
     Nc: int = struct.field(pytree_node=False, default=0)
@@ -58,6 +60,13 @@ class PhaseData:
         pytree_node=False, default="all"
     )
     basis_kind: str = struct.field(pytree_node=False, default="fourier")
+    # spline-basis config (basis_kind == "spline"); the expression basis has
+    # spline_n_basis + 1 columns (leading constant)
+    spline_n_basis: int = struct.field(pytree_node=False, default=10)
+    spline_degree: int = struct.field(pytree_node=False, default=3)
+    spline_domain: tuple = struct.field(
+        pytree_node=False, default=(0.0, 6.283185307179586)
+    )
     # Pallas fused NB likelihood (ops/nb_kernels.py); only used when
     # noisemodel == NegativeBinomial and with_delta_nu is False
     use_fused_nb: bool = struct.field(pytree_node=False, default=False)
@@ -93,6 +102,8 @@ class VelocityData:
     rho_mean: jnp.ndarray
     rho_std: jnp.ndarray
     rho_scale: jnp.ndarray
+    # non-fourier (spline) path: prior location of the latent coordinate
+    phi_prior: jnp.ndarray = None  # (Nc,) or None
     # static config
     Ng: int = struct.field(pytree_node=False, default=0)
     Nc: int = struct.field(pytree_node=False, default=0)
@@ -108,6 +119,12 @@ class VelocityData:
     model_type: str = struct.field(pytree_node=False, default="lrmn")
     rho_rank: int = struct.field(pytree_node=False, default=5)
     basis_kind: str = struct.field(pytree_node=False, default="fourier")
+    # spline-basis config (basis_kind == "spline")
+    spline_n_basis: int = struct.field(pytree_node=False, default=10)
+    spline_degree: int = struct.field(pytree_node=False, default=3)
+    spline_domain: tuple = struct.field(
+        pytree_node=False, default=(0.0, 6.283185307179586)
+    )
 
 
 @dataclasses.dataclass

@@ -30,9 +30,8 @@ from ..core import handlers
 from ..core import distributions as dist
 from ..core import constraints
 from ..core.handlers import sample, param, deterministic, plate
-from ..ops.fourier import fourier_basis
-from ..ops.circular import pack_direction
 from ..ops.likelihoods import nb_logpmf
+from .basis import expression_basis, guide_phi, sample_phi
 
 __all__ = [
     "phase_model",
@@ -95,14 +94,8 @@ def phase_model(mp):
                         jnp.zeros((mp.Nb, mp.Ng)), mp.sd_dnu
                     ),
                 )
-    with plate("cells", mp.Nc, dim=-1):
-        phi_xy = sample(
-            "phi_xy", dist.Normal(mp.phixy_prior, 1.0).to_event(1)
-        )  # (Nc, 2)
-
-    phi = pack_direction(phi_xy)
-    zeta = fourier_basis(phi, mp.num_harmonics_S, der=0)  # (Nc, Nh)
-    deterministic("phi", phi)
+    phi = sample_phi(mp)
+    zeta = expression_basis(mp, phi, der=0)  # (Nc, Nh)
     deterministic("zeta", zeta)
 
     if (
@@ -158,9 +151,7 @@ def phase_guide(mp):
             with plate("batches", mp.Nb, dim=-3):
                 sample("delta_nu", dist.Delta(dnu_locs))
 
-    phixy_locs = param("phixy_locs", mp.phixy_prior)
-    with plate("cells", mp.Nc, dim=-1):
-        sample("phi_xy", dist.Normal(phixy_locs, 1.0).to_event(1))
+    guide_phi(mp)
 
 
 # ---------------------------------------------------------------------------
@@ -200,14 +191,8 @@ def phase_model_lba(mp):
             ),
         )  # (Ng,)
 
-    with plate("cells", mp.Nc, dim=-1):
-        phi_xy = sample(
-            "phi_xy", dist.Normal(mp.phixy_prior, 1.0).to_event(1)
-        )
-
-    phi = pack_direction(phi_xy)
-    zeta = fourier_basis(phi, mp.num_harmonics_S, der=0)
-    deterministic("phi", phi)
+    phi = sample_phi(mp)
+    zeta = expression_basis(mp, phi, der=0)
     deterministic("zeta", zeta)
 
     # dispersion shared across both mixture branches
@@ -283,6 +268,4 @@ def phase_guide_lba(mp):
             dist.Delta(_clipped_sigmoid(logit_locs + logit_avg)),
         )
 
-    phixy_locs = param("phixy_locs", mp.phixy_prior)
-    with plate("cells", mp.Nc, dim=-1):
-        sample("phi_xy", dist.Normal(phixy_locs, 1.0).to_event(1))
+    guide_phi(mp)

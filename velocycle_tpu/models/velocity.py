@@ -33,8 +33,7 @@ import jax.numpy as jnp
 from ..core import distributions as dist
 from ..core import constraints
 from ..core.handlers import sample, param, deterministic, plate
-from ..ops.fourier import fourier_basis
-from ..ops.circular import pack_direction
+from .basis import expression_basis, guide_phi, omega_basis, sample_phi
 
 __all__ = [
     "velocity_model",
@@ -45,9 +44,9 @@ __all__ = [
 
 def _velocity_core(mp, nu, delta_nu, phi, log_gamma, log_beta, nu_omega):
     """Shared deterministic pipeline: phi -> bases -> ElogS/omega/ElogU."""
-    zeta = fourier_basis(phi, mp.num_harmonics_S, der=0)       # (Nc, Nh)
-    zeta_dphi = fourier_basis(phi, mp.num_harmonics_S, der=1)  # (Nc, Nh)
-    zeta_omega = fourier_basis(phi, mp.omega_harmonics, der=0)  # (Nc, Nhw)
+    zeta = expression_basis(mp, phi, der=0)       # (Nc, Nh)
+    zeta_dphi = expression_basis(mp, phi, der=1)  # (Nc, Nh)
+    zeta_omega = omega_basis(mp, phi)             # (Nc, Nhw)
 
     deterministic("zeta", zeta)
     deterministic("zeta_dphi", zeta_dphi)
@@ -134,12 +133,7 @@ def velocity_model(mp):
                     dist.Normal(jnp.zeros((mp.Nb, mp.Ng)), mp.sd_dnu),
                 )
 
-    with plate("cells", mp.Nc, dim=-1):
-        phi_xy = sample(
-            "phi_xy", dist.Normal(mp.phixy_prior, 1.0).to_event(1)
-        )
-    phi = pack_direction(phi_xy)
-    deterministic("phi", phi)
+    phi = sample_phi(mp)
 
     with plate("conditions", mp.Nx, dim=-4):
         with plate("harmonics", mp.Nhw, dim=-3):
@@ -169,7 +163,6 @@ def velocity_guide(mp):
     nuw_scales = param(
         "nu_omega_scales", mp.sd_nuomega, constraint=constraints.positive
     )
-    phixy_locs = param("phixy_locs", mp.phixy_prior)
 
     with plate("genes", mp.Ng, dim=-2):
         sample("log_gamma", dist.Normal(lg_locs, lg_scales))
@@ -193,8 +186,7 @@ def velocity_guide(mp):
         with plate("harmonics", mp.Nhw, dim=-3):
             sample("nu_omega", dist.Normal(nuw_locs, nuw_scales))
 
-    with plate("cells", mp.Nc, dim=-1):
-        sample("phi_xy", dist.Normal(phixy_locs, 1.0).to_event(1))
+    guide_phi(mp)
 
 
 def velocity_guide_lrmn(mp):
@@ -209,7 +201,6 @@ def velocity_guide_lrmn(mp):
     """
     nu_locs = param("nu_locs", mp.mu_nu)
     nu_scales = param("nu_scales", mp.sd_nu, constraint=constraints.positive)
-    phixy_locs = param("phixy_locs", mp.phixy_prior)
     lb_locs = param("log_beta_locs", mp.mu_beta)
     lb_scales = param(
         "log_beta_scales", mp.sd_beta, constraint=constraints.positive
@@ -283,5 +274,4 @@ def velocity_guide_lrmn(mp):
                 dist.Delta(x[mp.Ng:].reshape((mp.Nx, mp.Nhw))),
             )
 
-    with plate("cells", mp.Nc, dim=-1):
-        sample("phi_xy", dist.Normal(phixy_locs, 1.0).to_event(1))
+    guide_phi(mp)

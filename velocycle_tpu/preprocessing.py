@@ -33,7 +33,11 @@ __all__ = [
 
 
 def _dense(x):
-    return np.asarray(x.todense()) if hasattr(x, "todense") else np.asarray(x)
+    if hasattr(x, "todense"):
+        from . import native
+
+        return native.csr_to_dense(x)
+    return np.asarray(x)
 
 
 def filter_shared_genes(cycle, data, filter_type="intersection"):
@@ -96,6 +100,47 @@ def normalize_total(adata):
     )[:, None]
 
 
+def _basis_config(basis_kind, cycle_obj, phase_obj, n_harmonics,
+                  spline_degree, spline_domain):
+    """Static basis fields + phi prior for PhaseData/VelocityData.
+
+    Validates that the Cycle prior's coefficient count matches the basis:
+    ``2*n_harmonics + 1`` (fourier) or ``spline_n_basis + 1`` (spline, with
+    ``spline_n_basis`` inferred from the prior).
+    """
+    n_coeffs = cycle_obj.means_array.shape[1]
+    if basis_kind == "fourier":
+        if n_coeffs != 2 * n_harmonics + 1:
+            raise ValueError(
+                f"Cycle prior has {n_coeffs} coefficient rows but "
+                f"n_harmonics={n_harmonics} needs {2 * n_harmonics + 1}"
+            )
+        return {"basis_kind": "fourier"}
+    if basis_kind != "spline":
+        raise ValueError(
+            f"{basis_kind=} is not valid; use 'fourier' or 'spline'"
+        )
+    spline_n_basis = n_coeffs - 1
+    if spline_n_basis <= spline_degree:
+        raise ValueError(
+            f"spline basis needs > degree+2 = {spline_degree + 2} Cycle "
+            f"coefficient rows (constant + n_basis), got {n_coeffs}"
+        )
+    phis = np.asarray(phase_obj.phis, np.float32).reshape(-1)
+    if spline_domain is None:
+        spline_domain = (float(phis.min()), float(phis.max()))
+    lo, hi = float(spline_domain[0]), float(spline_domain[1])
+    if not hi > lo:
+        raise ValueError(f"empty spline domain {spline_domain}")
+    return {
+        "basis_kind": "spline",
+        "spline_n_basis": spline_n_basis,
+        "spline_degree": int(spline_degree),
+        "spline_domain": (lo, hi),
+        "phi_prior": phis,
+    }
+
+
 def _extract_counts(adata, normalize):
     """(S, U) as dense (Nc, Ng) float arrays."""
     if normalize:
@@ -128,12 +173,23 @@ def preprocess_for_phase_estimation(
     gamma_beta: float = 2.0,
     beta0: float = 0.10,
     beta1: float = 0.90,
+    basis_kind: str = "fourier",
+    spline_degree: int = 3,
+    spline_domain=None,
 ):
     """Assemble `Metapars` for manifold-learning
     (`preprocessing.py:103-205`).
 
     Returns a `Metapars` whose ``.data`` is a `PhaseData` pytree; model and
     guide callables are chosen by ``gene_selection_model`` ("all" or "lba").
+
+    ``basis_kind="spline"`` switches the S^1 Fourier model to a B-spline
+    basis on an interval (the 1D-pancreas workflow the reference only
+    demonstrates in `tutorials/1D_Pancreas_Analysis.ipynb`): the Cycle prior
+    must then carry ``n_basis + 1`` coefficient rows (leading constant), the
+    latent coordinate is ``phi ~ Uniform(spline_domain)`` initialized from
+    ``phase_obj`` angles, and workflows with a known pseudotime condition
+    the ``phi`` site.
     """
     from .models import (
         phase_guide, phase_guide_lba, phase_model, phase_model_lba,
@@ -163,6 +219,10 @@ def preprocess_for_phase_estimation(
     sd_dnu_arr = np.broadcast_to(
         np.asarray(sd_dnu, np.float32), (Nb,)
     ).reshape(Nb, 1)
+    basis_cfg = _basis_config(
+        basis_kind, cycle_obj, phase_obj, n_harmonics,
+        spline_degree, spline_domain,
+    )
     data = PhaseData(
         S=S.T,
         logS=np.asarray(adata.layers["logS"], np.float32).T,
@@ -185,6 +245,7 @@ def preprocess_for_phase_estimation(
         noisemodel=noisemodel,
         with_delta_nu=with_delta_nu,
         gene_selection_model=gene_selection_model,
+        **basis_cfg,
     )
     return Metapars(
         data=data,
@@ -225,16 +286,24 @@ def preprocess_for_velocity_estimation(
     rho_std: float = 1.0,
     rho_scale: float = 1.0,
     rho_rank: int = 5,
+    basis_kind: str = "fourier",
+    spline_degree: int = 3,
+    spline_domain=None,
 ):
     """Assemble `Metapars` for velocity-learning
     (`preprocessing.py:207-323`).  Gene filtering against the Cycle happens
     here (`preprocessing.py:241`); ``model_type`` selects the mean-field or
-    LRMN guide."""
+    LRMN guide.
+
+    ``basis_kind="spline"`` generalizes to a bounded 1-D manifold: the
+    AngularSpeed prior's coefficient count becomes the speed-spline size
+    (1 row = constant speed, the pancreas notebook's scalar omega).
+    """
     from .models import velocity_guide, velocity_guide_lrmn, velocity_model
 
     if omega_n_harmonics is None:
         omega_n_harmonics = speed_obj.harmonics
-    if speed_obj.harmonics != omega_n_harmonics:
+    if basis_kind == "fourier" and speed_obj.harmonics != omega_n_harmonics:
         raise ValueError(
             f"speed prior has {speed_obj.harmonics} harmonics but "
             f"omega_n_harmonics={omega_n_harmonics}"
@@ -267,7 +336,21 @@ def preprocess_for_velocity_estimation(
     Ng = len(cycle_obj)
     Nb = batch_design_mtx.shape[-1]
     Nx = condition_design_mtx.shape[-1]
-    Nhw = 2 * omega_n_harmonics + 1
+    basis_cfg = _basis_config(
+        basis_kind, cycle_obj, phase_obj, n_harmonics,
+        spline_degree, spline_domain,
+    )
+    if basis_kind == "fourier":
+        Nhw = 2 * omega_n_harmonics + 1
+    else:
+        # spline: the speed prior's coefficient count IS the omega basis
+        # size (1 = constant speed; else constant + (Nhw-1)-fn spline)
+        Nhw = speed_obj.means_array.shape[1]
+        if Nhw != 1 and Nhw - 1 <= spline_degree:
+            raise ValueError(
+                f"speed spline needs 1 or > degree+2 coefficient rows, "
+                f"got {Nhw} (degree {spline_degree})"
+            )
     sd_dnu_arr = np.broadcast_to(
         np.asarray(sd_dnu, np.float32), (Nb,)
     ).reshape(Nb, 1)
@@ -311,6 +394,7 @@ def preprocess_for_velocity_estimation(
         with_delta_nu=with_delta_nu,
         model_type=model_type,
         rho_rank=rho_rank,
+        **basis_cfg,
     )
     return Metapars(
         data=data,
