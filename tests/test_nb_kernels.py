@@ -61,3 +61,122 @@ def test_fused_under_jit_and_vmap_free():
     args = _inputs(Ng=16, Nc=24)
     out = jax.jit(nb_loglik_fused)(*args)
     assert np.isfinite(float(out))
+
+
+# ---------------------------------------------------------------------------
+# special functions (ops.special): the Mosaic-lowerable lgamma/digamma the
+# kernels use in place of jax.scipy.special
+# ---------------------------------------------------------------------------
+
+def test_special_lgamma_digamma_vs_scipy():
+    import scipy.special as sps
+    from velocycle_tpu.ops.special import lgamma_pos, digamma_pos, softplus
+
+    x = np.concatenate([
+        np.linspace(1e-3, 0.5, 57),
+        np.linspace(0.5, 30, 101),
+        np.logspace(1.5, 6, 53),
+    ]).astype(np.float32)
+    lg = np.asarray(lgamma_pos(jnp.asarray(x)))
+    dg = np.asarray(digamma_pos(jnp.asarray(x)))
+    assert np.max(np.abs(lg - sps.gammaln(x.astype(np.float64)))
+                  / (np.abs(sps.gammaln(x.astype(np.float64))) + 1.0)) < 5e-4
+    assert np.max(np.abs(dg - sps.digamma(x.astype(np.float64)))
+                  / (np.abs(sps.digamma(x.astype(np.float64))) + 1.0)) < 5e-4
+    y = jnp.asarray([-50.0, -1.0, 0.0, 1.0, 50.0, 500.0])
+    sp = np.asarray(softplus(y))
+    ref = np.logaddexp(0.0, np.asarray(y, np.float64))
+    np.testing.assert_allclose(sp, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# delta_nu variant of the phase kernel
+# ---------------------------------------------------------------------------
+
+def _dnu_inputs(Ng=60, Nc=90, Nb=3, seed=1):
+    rng = np.random.default_rng(seed)
+    S, nu, zeta, cf, r = _inputs(Ng=Ng, Nc=Nc, seed=seed)
+    dnu = jnp.asarray(rng.normal(0, 0.1, (Nb, Ng)).astype(np.float32))
+    groups = rng.integers(0, Nb, Nc)
+    Db = jnp.asarray(np.eye(Nb, dtype=np.float32)[:, groups] * 0 +
+                     (np.arange(Nb)[:, None] == groups[None, :]))
+    return S, nu, zeta, cf, r, dnu, Db.astype(jnp.float32)
+
+
+def test_phase_kernel_with_delta_nu():
+    args = _dnu_inputs()
+    ref = float(nb_loglik_reference(*args))
+    fused = float(nb_loglik_fused(*args))
+    assert abs(ref - fused) / abs(ref) < 1e-5
+    argnums = (1, 2, 3, 4, 5)  # nu, zeta, cf, disp, delta_nu
+    gref = jax.grad(nb_loglik_reference, argnums=argnums)(*args)
+    gfus = jax.grad(nb_loglik_fused, argnums=argnums)(*args)
+    for name, a, b in zip(("nu", "zeta", "cf", "disp", "dnu"), gref, gfus):
+        err = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+        assert err < 1e-4, (name, err)
+
+
+# ---------------------------------------------------------------------------
+# velocity-stage fused kernel (joint S+U with the kinetic coupling)
+# ---------------------------------------------------------------------------
+
+def _velo_inputs(Ng=60, Nc=90, Nh=5, seed=2, with_dnu=False, Nb=2):
+    from velocycle_tpu.ops.nb_kernels import nbsu_loglik_reference  # noqa
+
+    rng = np.random.default_rng(seed)
+    S, nu, zeta, cf, r = _inputs(Ng=Ng, Nc=Nc, Nh=Nh, seed=seed)
+    U = jnp.asarray(rng.poisson(2, (Ng, Nc)).astype(np.float32))
+    zdp = jnp.asarray(rng.normal(0, 0.7, (Nc, Nh)).astype(np.float32))
+    omega = jnp.asarray(rng.normal(0.3, 0.2, Nc).astype(np.float32))
+    lbeta = jnp.asarray(rng.normal(0, 0.3, Ng).astype(np.float32))
+    lgam = jnp.asarray(rng.normal(0, 0.3, Ng).astype(np.float32))
+    args = [S, U, nu, zeta, zdp, cf, omega, lbeta, lgam, r]
+    if with_dnu:
+        dnu = jnp.asarray(rng.normal(0, 0.1, (Nb, Ng)).astype(np.float32))
+        groups = rng.integers(0, Nb, Nc)
+        Db = jnp.asarray(
+            (np.arange(Nb)[:, None] == groups[None, :]).astype(np.float32)
+        )
+        args += [dnu, Db]
+    return tuple(args)
+
+
+def test_velocity_kernel_forward():
+    from velocycle_tpu.ops.nb_kernels import (
+        nbsu_loglik_fused, nbsu_loglik_reference,
+    )
+
+    for with_dnu in (False, True):
+        args = _velo_inputs(with_dnu=with_dnu)
+        ref = float(nbsu_loglik_reference(*args))
+        fused = float(nbsu_loglik_fused(*args))
+        assert abs(ref - fused) / abs(ref) < 1e-5, with_dnu
+
+
+def test_velocity_kernel_gradients():
+    from velocycle_tpu.ops.nb_kernels import (
+        nbsu_loglik_fused, nbsu_loglik_reference,
+    )
+
+    names = ("nu", "zeta", "zdphi", "cf", "omega", "lbeta", "lgamma",
+             "disp", "dnu")
+    for with_dnu in (False, True):
+        args = _velo_inputs(with_dnu=with_dnu)
+        argnums = tuple(range(2, 10)) + ((10,) if with_dnu else ())
+        gref = jax.grad(nbsu_loglik_reference, argnums=argnums)(*args)
+        gfus = jax.grad(nbsu_loglik_fused, argnums=argnums)(*args)
+        for name, a, b in zip(names, gref, gfus):
+            err = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-9))
+            assert err < 5e-4, (with_dnu, name, err)
+
+
+def test_velocity_kernel_non_tile_aligned():
+    from velocycle_tpu.ops.nb_kernels import (
+        nbsu_loglik_fused, nbsu_loglik_reference,
+    )
+
+    for Ng, Nc in [(1, 1), (129, 257), (3, 300)]:
+        args = _velo_inputs(Ng=Ng, Nc=Nc, seed=Ng + Nc)
+        ref = float(nbsu_loglik_reference(*args))
+        fused = float(nbsu_loglik_fused(*args))
+        assert abs(ref - fused) / max(abs(ref), 1.0) < 1e-5, (Ng, Nc)

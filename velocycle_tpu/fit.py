@@ -126,6 +126,11 @@ class _FitModel:
             key = jax.random.PRNGKey(1)
         if data is None:
             data = self.metaparams.data
+        if getattr(data, "use_fused_nb", False):
+            # the fused-kernel fit path skips the ElogS/ElogU deterministic
+            # sites; posterior sampling replays through the plain path so
+            # every site the reference's Predictive exposes is present
+            data = data.replace(use_fused_nb=False)
         constrained = {
             k: jnp.asarray(v) for k, v in (self.params or {}).items()
         }

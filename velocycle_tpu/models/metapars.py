@@ -125,6 +125,9 @@ class VelocityData:
     spline_domain: tuple = struct.field(
         pytree_node=False, default=(0.0, 6.283185307179586)
     )
+    # Pallas fused joint S+U NB likelihood (ops/nb_kernels.py); used when
+    # noisemodel == NegativeBinomial
+    use_fused_nb: bool = struct.field(pytree_node=False, default=False)
 
 
 @dataclasses.dataclass

@@ -98,11 +98,7 @@ def phase_model(mp):
     zeta = expression_basis(mp, phi, der=0)  # (Nc, Nh)
     deterministic("zeta", zeta)
 
-    if (
-        mp.use_fused_nb
-        and mp.noisemodel == "NegativeBinomial"
-        and not mp.with_delta_nu
-    ):
+    if mp.use_fused_nb and mp.noisemodel == "NegativeBinomial":
         # Pallas fast path: matmul + NB log-pmf + reduction in one kernel,
         # no (Ng, Nc) ElogS intermediate in HBM (ops/nb_kernels.py).
         from ..ops.nb_kernels import nb_loglik_fused
@@ -115,10 +111,13 @@ def phase_model(mp):
                     jnp.broadcast_to(mp.gamma_beta, (mp.Ng,)),
                 ),
             )
+        cf = jnp.broadcast_to(mp.count_factor, (mp.Nc,))
         handlers.factor(
             "S_fused",
             nb_loglik_fused(
-                mp.S, nu, zeta, mp.count_factor, shape_inv
+                mp.S, nu, zeta, cf, shape_inv,
+                delta_nu if mp.with_delta_nu else None,
+                mp.Db if mp.with_delta_nu else None,
             ),
         )
         return

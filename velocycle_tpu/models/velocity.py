@@ -141,6 +141,38 @@ def velocity_model(mp):
                 "nu_omega", dist.Normal(mp.mu_nuomega, mp.sd_nuomega)
             )  # (Nx, Nhw)
 
+    if mp.use_fused_nb and mp.noisemodel == "NegativeBinomial":
+        # Pallas fast path (ops/nb_kernels.nbsu_loglik_fused): both NB
+        # log-prob matrices, the kinetic ElogU coupling and the reduction
+        # in one kernel — no (Ng, Nc) ElogS/ElogU/dEs intermediates in HBM.
+        from ..core import handlers
+        from ..ops.nb_kernels import nbsu_loglik_fused
+
+        zeta = expression_basis(mp, phi, der=0)
+        zeta_dphi = expression_basis(mp, phi, der=1)
+        zeta_omega = omega_basis(mp, phi)
+        omega = jnp.einsum("xh,ch,xc->c", nu_omega, zeta_omega, mp.D)
+        deterministic("omega", omega)
+        with plate("genes", mp.Ng, dim=-1):
+            shape_inv = sample(
+                "shape_inv",
+                dist.Gamma(
+                    jnp.broadcast_to(mp.gamma_alpha, (mp.Ng,)),
+                    jnp.broadcast_to(mp.gamma_beta, (mp.Ng,)),
+                ),
+            )
+        cf = jnp.broadcast_to(mp.count_factor, (mp.Nc,))
+        handlers.factor(
+            "SU_fused",
+            nbsu_loglik_fused(
+                mp.S, mp.U, nu, zeta, zeta_dphi, cf, omega,
+                log_beta, log_gamma, shape_inv,
+                delta_nu if mp.with_delta_nu else None,
+                mp.Db if mp.with_delta_nu else None,
+            ),
+        )
+        return
+
     ElogS, ElogU = _velocity_core(
         mp, nu, delta_nu, phi, log_gamma, log_beta, nu_omega
     )

@@ -176,6 +176,7 @@ def preprocess_for_phase_estimation(
     basis_kind: str = "fourier",
     spline_degree: int = 3,
     spline_domain=None,
+    use_fused_nb: bool = False,
 ):
     """Assemble `Metapars` for manifold-learning
     (`preprocessing.py:103-205`).
@@ -245,6 +246,7 @@ def preprocess_for_phase_estimation(
         noisemodel=noisemodel,
         with_delta_nu=with_delta_nu,
         gene_selection_model=gene_selection_model,
+        use_fused_nb=use_fused_nb,
         **basis_cfg,
     )
     return Metapars(
@@ -289,6 +291,7 @@ def preprocess_for_velocity_estimation(
     basis_kind: str = "fourier",
     spline_degree: int = 3,
     spline_domain=None,
+    use_fused_nb: bool = False,
 ):
     """Assemble `Metapars` for velocity-learning
     (`preprocessing.py:207-323`).  Gene filtering against the Cycle happens
@@ -394,6 +397,7 @@ def preprocess_for_velocity_estimation(
         with_delta_nu=with_delta_nu,
         model_type=model_type,
         rho_rank=rho_rank,
+        use_fused_nb=use_fused_nb,
         **basis_cfg,
     )
     return Metapars(
