@@ -105,3 +105,29 @@ def test_fused_fit_driver_posterior_unfuses():
     assert np.isfinite(fit.losses).all()
     assert fit.posterior["ElogS"].shape == (mp.Ng, mp.Nc)
     assert np.isfinite(fit.posterior["nu"]).all()
+
+
+def test_nuts_through_fused_kernel():
+    """The fused Pallas likelihood also drives MCMC: the NUTS potential's
+    gradient flows through the custom VJP.  Posterior means must agree with
+    the plain-path run up to MC error."""
+    from velocycle_tpu.core import handlers
+    from velocycle_tpu.infer.mcmc import MCMC
+
+    adata, cycle, phases = _sim(Nc=80, Ng=16, seed=9)
+    means = {}
+    for fused in (False, True):
+        mp = preprocess_for_phase_estimation(
+            adata, cycle, phases, n_harmonics=2, with_delta_nu=False,
+            use_fused_nb=fused,
+        )
+        model = handlers.condition(
+            mp.model_fn, data={"phi_xy": mp.data.phixy_prior}
+        )
+        m = MCMC(model, kernel="nuts", num_warmup=80, num_samples=120,
+                 num_chains=2, max_depth=6)
+        m.run(jax.random.PRNGKey(0), mp.data)
+        assert m.accept_rate() > 0.5
+        means[fused] = m.get_samples()["nu"].mean(0)
+    r = np.corrcoef(means[True].ravel(), means[False].ravel())[0, 1]
+    assert r > 0.95, r

@@ -78,3 +78,25 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_trajectory_matches_single_device():
+    """ELBO *trajectories* (not just one step) agree between the 1-device
+    and 8-device SPMD programs — the device-count-invariance half of the
+    determinism story (same key, same math, different reduction layout)."""
+    mp = _metapars()
+    mesh = make_mesh(("cells",))
+    svi = SVI(mp.model_fn, mp.guide_fn, clipped_adam(), Trace_ELBO())
+
+    state = svi.init(jax.random.PRNGKey(0), mp.data)
+    _, losses_single = svi.update_chunk(state, 25, mp.data)
+
+    data = shard_phase_data(mp.data, mesh)
+    state_sh = svi.init_sharded(jax.random.PRNGKey(0), mesh, data)
+    _, losses_sharded = svi.update_chunk(state_sh, 25, data)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(losses_sharded)),
+        np.asarray(jax.device_get(losses_single)),
+        rtol=2e-3,
+    )

@@ -11,7 +11,8 @@ __version__ = "0.1.0"
 
 from . import core, infer, models, ops, parallel, twodim  # noqa: F401
 from . import containers, genes, preprocessing, simulate  # noqa: F401
-from . import checkpoint, plots, profiling  # noqa: F401
+from . import alignment, checkpoint, plots, profiling  # noqa: F401
+from .alignment import invert_direction, shift_zero  # noqa: F401
 from .anndata_lite import AnnDataLite  # noqa: F401
 from .containers import AngularSpeed, Cycle, Phases  # noqa: F401
 from .fit import PhaseFitModel, VelocityFitModel  # noqa: F401

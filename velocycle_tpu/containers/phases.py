@@ -183,6 +183,66 @@ class Phases:
         out.pca = pca
         return out
 
+    @classmethod
+    def from_lda_heuristic(
+        cls,
+        adata,
+        labels="phase",
+        concentration=1.0,
+        layer="S_sz",
+        normalize=True,
+        genes_to_use=None,
+    ):
+        """Supervised LDA initialisation: the large/noisy-data path of the
+        Stereo-seq workflow (`/root/reference/tutorials/
+        Stereo_seq_BrainRG.ipynb` cells 68-73).  Fits a
+        LinearDiscriminantAnalysis of the count layer against categorical
+        cell-cycle labels (e.g. Seurat G1/S/G2M scores), percentile-
+        normalizes the two discriminant axes exactly like the notebook
+        (0.5/99.5 percentiles around the median), and takes the angle.
+
+        Args:
+          labels: `adata.obs` column name, or an array of per-cell labels
+            with >= 3 classes (LDA yields ``n_classes - 1 >= 2`` axes).
+        """
+        from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+
+        if isinstance(labels, str):
+            labels = np.asarray(adata.obs[labels])
+        if layer not in adata.layers:
+            raise ValueError(f"layer={layer!r} not in adata.layers")
+        if genes_to_use is None:
+            mat = adata.layers[layer]
+        else:
+            mask = [g in set(genes_to_use) for g in adata.var.index]
+            mat = adata[:, np.where(mask)[0]].layers[layer]
+        mat = np.asarray(mat.todense()) if hasattr(mat, "todense") else (
+            np.asarray(mat)
+        )
+
+        clf = LinearDiscriminantAnalysis()
+        X = clf.fit_transform(mat, labels)
+        if X.shape[1] < 2:
+            raise ValueError(
+                f"LDA produced {X.shape[1]} axis; need >= 3 label classes"
+            )
+        X = X[:, :2]
+        if normalize:
+            pcts = np.percentile(X, [0.5, 99.5, 50], 0)
+            X = (X - pcts[2, :]) / (pcts[1, :] - pcts[0, :])
+        angle = np.mod(np.arctan2(X[:, 1], X[:, 0]), 2 * np.pi)
+
+        out = cls(
+            pd.DataFrame(
+                np.stack([np.cos(angle), np.sin(angle)]) * concentration,
+                index=["phi_x", "phi_y"],
+                columns=adata.obs.index,
+            )
+        )
+        out.pcs = X
+        out.pca = clf
+        return out
+
     def from_cycle_mle(
         self,
         cycle,

@@ -34,6 +34,7 @@ __all__ = [
     "replay",
     "block",
     "Trace",
+    "check_plate_shapes",
 ]
 
 _STACK = []
@@ -279,8 +280,10 @@ class plate(Messenger):
     """Named batch dimension.  TPU-first design: plates are *declarative* —
     broadcasting does the real work (the reference's tensors are already
     shaped for its pyro plates, `preprocessing.py:168-205`), and the plate
-    records (name, size, dim) so shape-checking utilities can verify log_prob
-    dims, mirroring pyro's `format_shapes` debugging role.
+    records (name, size, dim) on each enclosed site's ``cond_indep_stack``
+    so `check_plate_shapes` can verify that every site's value actually
+    carries its declared plate sizes — the runnable replacement for pyro's
+    `format_shapes` eyeballing (`/root/reference/velocycle/plots.py:13-31`).
 
     Usable as a context manager::
 
@@ -298,6 +301,56 @@ class plate(Messenger):
         msg.setdefault("cond_indep_stack", []).append(
             (self.name, self.size, self.dim)
         )
+
+
+def check_plate_shapes(fn, *args, key=None, **kwargs):
+    """Verify plate/shape consistency of a model or guide.
+
+    Traces ``fn`` and checks, for every sample site, that
+
+      * each declared plate's ``size`` appears among the site's value
+        dimensions (size-1 plates broadcast and always pass), and
+      * ``fn.log_prob(value)`` evaluates to finite values whose shape is
+        broadcast-compatible with the value's batch shape.
+
+    Returns a list of human-readable violation strings (empty = clean) —
+    the runnable equivalent of eyeballing pyro's ``format_shapes`` output
+    (`/root/reference/velocycle/plots.py:13-31`).
+    """
+    import numpy as np
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    tr = trace(seed(fn, key)).get_trace(*args, **kwargs)
+    problems = []
+    for name, site in tr.items():
+        if site["type"] != "sample":
+            continue
+        shape = tuple(np.shape(site["value"]))
+        for pname, size, dim in site.get("cond_indep_stack", []):
+            if size <= 1:
+                continue
+            if size not in shape:
+                problems.append(
+                    f"site {name!r}: plate {pname!r} (size {size}) does "
+                    f"not appear in value shape {shape}"
+                )
+        fn_ = site.get("fn")
+        if fn_ is not None:
+            lp = fn_.log_prob(site["value"])
+            lp_shape = tuple(np.shape(lp))
+            # log_prob batch dims must align with the value's leading dims
+            # (event dims are summed out by to_event)
+            ok = len(lp_shape) <= len(shape) and all(
+                a == b or a == 1 or b == 1
+                for a, b in zip(lp_shape, shape)
+            )
+            if not ok:
+                problems.append(
+                    f"site {name!r}: log_prob shape {lp_shape} does not "
+                    f"align with value shape {shape}"
+                )
+    return problems
 
 
 def uncondition():

@@ -75,7 +75,9 @@ class _FitModel:
 
     # -- fitting -----------------------------------------------------------
     def fit(self, optimizer=None, loss=None, num_steps=1000, key=None,
-            log_every=0, verbose=False, callback=None):
+            log_every=0, verbose=False, callback=None,
+            store_output=False, intermediate_output_step_size=100,
+            store_num_samples=50, live_plot=False):
         """Run SVI and extract posterior estimates.
 
         Args:
@@ -85,6 +87,16 @@ class _FitModel:
           loss: ELBO object (default `Trace_ELBO()`).
           num_steps: SVI steps.
           key: PRNG key (default PRNGKey(0)).
+          store_output: capture intermediate posterior snapshots every
+            ``intermediate_output_step_size`` steps into
+            ``self.intermediate_output`` — the reference's mid-fit
+            observability hook (`phase_inference_model.py:171-174`,
+            `sample_posterior(num_samples=50)` per snapshot).  Snapshots
+            happen at scanned-chunk boundaries, so the hot loop stays one
+            XLA program per chunk.
+          live_plot: redraw the live ELBO curve at every chunk boundary
+            (`plots.live_plot`, for notebook use —
+            `phase_inference_model.py:176-179`).
         """
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -95,10 +107,36 @@ class _FitModel:
             )
         self.svi = SVI(self.model, self.guide, optimizer,
                        loss or Trace_ELBO())
+        self.intermediate_output = []
+        self._store_num_samples = store_num_samples
+        loss_history = []
+        chunk_size = None
+        user_callback = callback
+        if store_output or live_plot:
+            chunk_size = min(intermediate_output_step_size, num_steps)
+
+            def callback(step, state, last_loss, _user=user_callback):
+                loss_history.append(float(last_loss))
+                if store_output:
+                    params = {
+                        k: _np(v)
+                        for k, v in self.svi.get_params(state).items()
+                    }
+                    self.intermediate_output.append(
+                        self._snapshot_posterior(params, step)
+                    )
+                if live_plot:
+                    from .plots import live_plot as _live_plot
+
+                    _live_plot({"ELBO": loss_history})
+                if _user is not None:
+                    _user(step, state, last_loss)
+
         self.state, self.losses = self.svi.run(
             key, num_steps, self.metaparams.data,
             log_every=log_every if (log_every or verbose) else 0,
             early_exit=self.early_exit, callback=callback,
+            chunk_size=chunk_size,
         )
         self.params = {
             k: _np(v) for k, v in self.svi.get_params(self.state).items()
@@ -117,7 +155,8 @@ class _FitModel:
         raise NotImplementedError
 
     # -- posterior ---------------------------------------------------------
-    def sample_posterior(self, num_samples=1, rs=None, data=None, key=None):
+    def sample_posterior(self, num_samples=1, rs=None, data=None, key=None,
+                         params=None):
         """Draw guide->model replayed samples of the requested sites.
 
         Returns {site: (num_samples, ...) numpy array}.
@@ -131,8 +170,10 @@ class _FitModel:
             # sites; posterior sampling replays through the plain path so
             # every site the reference's Predictive exposes is present
             data = data.replace(use_fused_nb=False)
+        if params is None:
+            params = self.params
         constrained = {
-            k: jnp.asarray(v) for k, v in (self.params or {}).items()
+            k: jnp.asarray(v) for k, v in (params or {}).items()
         }
         pred = Predictive(
             self.model, guide=self.guide, params=constrained,
@@ -140,6 +181,21 @@ class _FitModel:
         )
         out = pred(key, data)
         return {k: _np(v) for k, v in out.items()}
+
+    def _snapshot_posterior(self, params, step):
+        """One intermediate posterior snapshot (reference: 50 draws of the
+        latent sites, `phase_inference_model.py:171-174`)."""
+        sample_sites = [
+            s for s in self._posterior_sites()
+            if s not in ("ElogS", "ElogU")
+        ]
+        snap = self.sample_posterior(
+            num_samples=getattr(self, "_store_num_samples", 50),
+            rs=sample_sites,
+            key=jax.random.PRNGKey(step), params=params,
+        )
+        snap["step"] = step
+        return snap
 
     def _build_posterior(self, key):
         rs = self._posterior_sites()
@@ -173,11 +229,24 @@ class _FitModel:
             lines.append(f"{site['type']:>13} {name:<20} {shape}")
         return "\n".join(lines)
 
-    def check_model(self):
+    def check_model(self, raise_on_error=False):
+        """Print trace shapes and verify plate/log_prob shape consistency
+        (`handlers.check_plate_shapes` — the runnable replacement for the
+        reference's `format_shapes` dump, `plots.py:13-31`)."""
         print(self._format_shapes(self.model))
+        return self._check_plates(self.model, raise_on_error)
 
-    def check_guide(self):
+    def check_guide(self, raise_on_error=False):
         print(self._format_shapes(self.guide))
+        return self._check_plates(self.guide, raise_on_error)
+
+    def _check_plates(self, fn, raise_on_error):
+        problems = handlers.check_plate_shapes(fn, self.metaparams.data)
+        for p in problems:
+            print(f"PLATE CHECK: {p}")
+        if problems and raise_on_error:
+            raise ValueError("\n".join(problems))
+        return problems
 
 
 class PhaseFitModel(_FitModel):

@@ -553,7 +553,14 @@ class MCMC:
         self._accepts = None
         self.model_info = None
 
-    def run(self, key, *args, **kwargs):
+    def run(self, key, *args, mesh=None, chain_axis="chains", **kwargs):
+        """Run the chains.  With ``mesh=`` (a `jax.sharding.Mesh` carrying
+        ``chain_axis``), the chain-key batch is sharded over that axis and
+        the jitted vmap compiles to an SPMD program — one chain group per
+        device, zero cross-chain communication (chains are independent).
+        Combine with cell-sharded model data for a 2-axis (cells, chains)
+        mesh: the potential's cell reductions lower to psum over the cells
+        axis while chains stay parallel."""
         k_init, k_run = jax.random.split(key)
         info = init_model(self.model, *args, key=k_init, **kwargs)
         self.model_info = info
@@ -575,6 +582,12 @@ class MCMC:
             )[:2]
 
         chain_keys = jax.random.split(k_run, self.num_chains)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            chain_keys = jax.device_put(
+                chain_keys, NamedSharding(mesh, P(chain_axis))
+            )
         samples_u, accepts = jax.jit(jax.vmap(one_chain))(chain_keys)
         self._samples_u = samples_u      # (chains, samples, dim)
         self._accepts = accepts

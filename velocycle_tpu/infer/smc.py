@@ -158,7 +158,13 @@ class SMC:
         self._log_Z = None
         self._betas = None
 
-    def run(self, key, *args, **kwargs):
+    def run(self, key, *args, mesh=None, particle_axis="particles",
+            **kwargs):
+        """Run the sampler.  With ``mesh=`` (a `jax.sharding.Mesh` carrying
+        ``particle_axis``), the particle population is sharded over that
+        axis: the whole tempering scan compiles SPMD, with the ESS/evidence
+        reductions lowering to psum and the systematic-resampling gather
+        (``particles[idx]``) to an XLA all-gather/permute across the mesh."""
         k_init, k_prior, k_run = jax.random.split(key, 3)
         tm = init_tempered_model(self.model, *args, key=k_init, **kwargs)
         self.tempered = tm
@@ -166,6 +172,12 @@ class SMC:
 
         prior_keys = jax.random.split(k_prior, n)
         particles = jax.vmap(tm.sample_prior_u)(prior_keys)  # (n, dim)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            particles = jax.device_put(
+                particles, NamedSharding(mesh, P(particle_axis))
+            )
 
         log_lik_v = jax.vmap(tm.log_lik_fn)
 

@@ -126,11 +126,17 @@ def _nb_lp(k, elog, a, log_r):
     )
 
 
-def _nb_grads(k, elog, a, log_r):
-    """(d lp/d elog, d lp/d r) of the NB log-pmf, elementwise."""
+def _nb_grads(k, elog, a, log_r, want_r=True):
+    """(d lp/d elog, d lp/d r) of the NB log-pmf, elementwise.
+
+    ``want_r=False`` skips the dispersion gradient — it needs two digamma
+    evaluations (the most expensive VPU work in the backward), and the
+    cell-indexed backward pass doesn't use it."""
     log_b = -log_r - elog
     sig = 1.0 / (1.0 + jnp.exp(-log_b))  # = b / (1 + b), overflow-safe
     g_elog = -a + (a + k) * sig
+    if not want_r:
+        return g_elog, None
     dlp_da = digamma_pos(k + a) - digamma_pos(a) + log_b - softplus(log_b)
     dlp_dlogb = a - (a + k) * sig
     g_r = dlp_da * (-a * a) + dlp_dlogb * (-a)  # da/dr=-1/r^2, dlogb/dr=-1/r
@@ -245,7 +251,7 @@ def _phase_bwd_cell_kernel(Ng, Nc, has_dnu, *refs):
     r = disp_ref[:]
     cj, gi = pl.program_id(0), pl.program_id(1)
     w = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape) * g_ref[0, 0]
-    g_elog, _ = _nb_grads(S_ref[:], elog, 1.0 / r, jnp.log(r))
+    g_elog, _ = _nb_grads(S_ref[:], elog, 1.0 / r, jnp.log(r), want_r=False)
     g_elog = g_elog * w
 
     @pl.when(gi == 0)
@@ -481,7 +487,7 @@ def _velo_fwd_kernel(Ng, Nc, has_dnu, *refs):
     out_ref[0, 0] += tile_sum
 
 
-def _velo_bwd_common(refs, has_dnu, gi, cj, Ng, Nc):
+def _velo_bwd_common(refs, has_dnu, gi, cj, Ng, Nc, want_r=True):
     """Recompute intermediates and elementwise gradients for one tile."""
     if has_dnu:
         (S_ref, U_ref, nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref,
@@ -499,10 +505,10 @@ def _velo_bwd_common(refs, has_dnu, gi, cj, Ng, Nc):
     a, log_r = 1.0 / r, jnp.log(r)
     w = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape) * g_ref[0, 0]
 
-    gS, g_rS = _nb_grads(S_ref[:], elogS, a, log_r)
-    gU, g_rU = _nb_grads(U_ref[:], elogU, a, log_r)
+    gS, g_rS = _nb_grads(S_ref[:], elogS, a, log_r, want_r)
+    gU, g_rU = _nb_grads(U_ref[:], elogU, a, log_r, want_r)
     gS, gU = gS * w, gU * w
-    g_r = (g_rS + g_rU) * w
+    g_r = (g_rS + g_rU) * w if want_r else None
     g_elogS = gS + gU                                   # ElogU includes ElogS
     g_x = gU * jnp.where(x > 0.0, 1.0 / xr, 0.0)        # relu + log chain
     return dict(
@@ -558,7 +564,7 @@ def _velo_bwd_cell_kernel(Ng, Nc, has_dnu, *refs):
     ins, outs = refs[:-4], refs[-4:]
     dzeta_ref, dzdphi_ref, dcf_ref, domega_ref = outs
     cj, gi = pl.program_id(0), pl.program_id(1)
-    v = _velo_bwd_common(ins, has_dnu, gi, cj, Ng, Nc)
+    v = _velo_bwd_common(ins, has_dnu, gi, cj, Ng, Nc, want_r=False)
 
     @pl.when(gi == 0)
     def _():

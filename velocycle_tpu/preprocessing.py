@@ -29,7 +29,15 @@ __all__ = [
     "normalize_total",
     "preprocess_for_phase_estimation",
     "preprocess_for_velocity_estimation",
+    "invert_direction",
+    "shift_zero",
 ]
+
+# Joint (Cycle, Phases) gauge transforms are reachable here for parity with
+# the reference, whose preprocessing star-imports them from the model module
+# (`/root/reference/velocycle/preprocessing.py:14-17`; used as
+# `preprocessing.invert_direction(...)` in Stereo_seq_BrainRG.ipynb cell 75).
+from .alignment import invert_direction, shift_zero  # noqa: E402,F401
 
 
 def _dense(x):
