@@ -10,6 +10,7 @@ Rows (reference anchors from the executed tutorial notebooks, 2019 MBP CPU):
   velo_per_2s   velocity SVI, periodic omega, two-sample        ( 9.1)
   nuts          NUTS samples/s, phase model, 8 chains           (no anchor —
                 the reference has no MCMC)
+  smc           SMC particle-moves/s, adaptive tempering        (no anchor)
   phase_scale   phase SVI at Stereo-seq scale (2048 x 102400,
                 fused Pallas NB kernel)                          (no anchor)
 
@@ -145,12 +146,48 @@ def _nuts_row():
     t0 = time.perf_counter()
     m.run(jax.random.PRNGKey(0), mp.data)
     _ = m.get_samples()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()  # same shapes: compiled program is reused
+    m.run(jax.random.PRNGKey(1), mp.data)
+    _ = m.get_samples()
     dt = time.perf_counter() - t0
     _emit({
         "row": "nuts", "samples_per_s": round(chains * samples / dt, 1),
+        "cold_s": round(cold, 1),
         "accept_rate": round(m.accept_rate(), 3),
-        "note": "incl. compile+warmup; 8 chains x 100 samples, Ng=50 "
-                "phase model, phases conditioned",
+        "note": "warm run (sampling incl. 100-step warmup phase); 8 "
+                "chains x 100 samples, Ng=50 phase model, phases "
+                "conditioned",
+    })
+
+
+def _smc_row():
+    import jax
+
+    from velocycle_tpu import preprocess_for_phase_estimation
+    from velocycle_tpu.core import handlers
+    from velocycle_tpu.infer.smc import SMC
+
+    adata, cycle, phases, _ = _sim(500, 50, 1, 14)
+    mp = preprocess_for_phase_estimation(
+        adata, cycle, phases, n_harmonics=1, with_delta_nu=False,
+    )
+    model = handlers.condition(
+        mp.model_fn, data={"phi_xy": mp.data.phixy_prior}
+    )
+    n = 256
+    smc = SMC(model, num_particles=n, num_moves=2)
+    t0 = time.perf_counter()
+    smc.run(jax.random.PRNGKey(0), mp.data)
+    dt = time.perf_counter() - t0
+    stages = len(smc.temperature_schedule)
+    _emit({
+        "row": "smc",
+        "particle_moves_per_s": round(n * stages * 2 / dt, 1),
+        "stages": int(stages),
+        "log_evidence": round(smc.log_evidence(), 1),
+        "note": f"incl. compile; {n} particles, adaptive tempering, "
+                "2 HMC moves/stage, Ng=50 phase model",
     })
 
 
@@ -163,12 +200,15 @@ def _scale_row():
     from velocycle_tpu.models.metapars import PhaseData
     from velocycle_tpu.infer import SVI, Trace_ELBO, clipped_adam
 
+    from jax.scipy.special import gammaln
+
     Ng, Nc, H = 2048, 102400, 2
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
     S = jnp.floor(jnp.exp(jax.random.normal(ks[0], (Ng, Nc)) * 0.8 + 1.0))
     ang = jax.random.normal(ks[1], (Nc,)) * 2.0
     data = PhaseData(
         S=S, logS=S,
+        lgamma_k_sum=jax.jit(lambda s: gammaln(s + 1.0).sum())(S),
         count_factor=jax.random.normal(ks[2], (Nc,)) * 0.1,
         mu_nu=jnp.zeros((Ng, 2 * H + 1)),
         sd_nu=jnp.full((Ng, 2 * H + 1), 0.5),
@@ -188,7 +228,12 @@ def _scale_row():
 
 
 def _worker():
-    import jax  # noqa: F401  (fail fast if the backend is unreachable)
+    import jax
+
+    # persistent compile cache: dedups identical HLO (e.g. the second NUTS
+    # run) and survives across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/velocycle_tpu_cc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     _phase_row("phase_1s", 2000, False, 7)
     _velocity_row("velo_const_1s", 2000, 0, False, 7)
@@ -197,6 +242,7 @@ def _worker():
     _velocity_row("velo_const_2s", 4000, 0, True, 8)
     _velocity_row("velo_per_2s", 4000, 1, True, 8)
     _nuts_row()
+    _smc_row()
     _scale_row()
 
 

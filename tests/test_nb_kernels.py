@@ -180,3 +180,37 @@ def test_velocity_kernel_non_tile_aligned():
         ref = float(nbsu_loglik_reference(*args))
         fused = float(nbsu_loglik_fused(*args))
         assert abs(ref - fused) / max(abs(ref), 1.0) < 1e-5, (Ng, Nc)
+
+
+def test_lgamma_k_sum_shortcut_matches():
+    """Passing the precomputed sum(lgamma(k+1)) constant must reproduce the
+    full value exactly (same math, reassociated), for both kernels."""
+    import scipy.special as sps
+    from velocycle_tpu.ops.nb_kernels import (
+        nbsu_loglik_fused, nbsu_loglik_reference,
+    )
+
+    args = _inputs(Ng=60, Nc=90)
+    S = args[0]
+    const = np.float32(sps.gammaln(np.asarray(S, np.float64) + 1.0).sum())
+    full = float(nb_loglik_fused(*args))
+    short = float(nb_loglik_fused(*args, lgamma_k_sum=const))
+    assert abs(full - short) / abs(full) < 1e-5
+    # gradients identical (the skipped term is parameter-free)
+    gfull = jax.grad(nb_loglik_fused, argnums=(1, 2, 3, 4))(*args)
+    gshort = jax.grad(
+        lambda *a: nb_loglik_fused(*a, lgamma_k_sum=const),
+        argnums=(1, 2, 3, 4),
+    )(*args)
+    for a, b in zip(gfull, gshort):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    vargs = _velo_inputs(Ng=60, Nc=90)
+    S, U = vargs[0], vargs[1]
+    const = np.float32(
+        sps.gammaln(np.asarray(S, np.float64) + 1.0).sum()
+        + sps.gammaln(np.asarray(U, np.float64) + 1.0).sum()
+    )
+    full = float(nbsu_loglik_fused(*vargs))
+    short = float(nbsu_loglik_fused(*vargs, lgamma_k_sum=const))
+    assert abs(full - short) / abs(full) < 1e-5

@@ -47,6 +47,9 @@ class PhaseData:
     beta1: jnp.ndarray
     # non-fourier (spline) path: prior location of the latent coordinate
     phi_prior: jnp.ndarray = None  # (Nc,) or None
+    # precomputed sum(lgamma(S+1)) dataset constant: lets the fused kernel
+    # skip one full-tile lgamma per step (ops/nb_kernels.py)
+    lgamma_k_sum: jnp.ndarray = None
     # static config
     Ng: int = struct.field(pytree_node=False, default=0)
     Nc: int = struct.field(pytree_node=False, default=0)
@@ -104,6 +107,8 @@ class VelocityData:
     rho_scale: jnp.ndarray
     # non-fourier (spline) path: prior location of the latent coordinate
     phi_prior: jnp.ndarray = None  # (Nc,) or None
+    # precomputed sum(lgamma(S+1)) + sum(lgamma(U+1)) for the fused kernel
+    lgamma_k_sum: jnp.ndarray = None
     # static config
     Ng: int = struct.field(pytree_node=False, default=0)
     Nc: int = struct.field(pytree_node=False, default=0)

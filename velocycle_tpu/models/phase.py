@@ -118,6 +118,7 @@ def phase_model(mp):
                 mp.S, nu, zeta, cf, shape_inv,
                 delta_nu if mp.with_delta_nu else None,
                 mp.Db if mp.with_delta_nu else None,
+                lgamma_k_sum=mp.lgamma_k_sum,
             ),
         )
         return

@@ -169,6 +169,7 @@ def velocity_model(mp):
                 log_beta, log_gamma, shape_inv,
                 delta_nu if mp.with_delta_nu else None,
                 mp.Db if mp.with_delta_nu else None,
+                lgamma_k_sum=mp.lgamma_k_sum,
             ),
         )
         return

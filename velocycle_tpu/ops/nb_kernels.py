@@ -50,7 +50,7 @@ from .likelihoods import nb_logpmf
 from .special import lgamma_pos, digamma_pos, softplus
 
 TILE_G = 128
-TILE_C = 256
+TILE_C = 1024  # tuned on v5e: 26.1 ms vs 30.5 ms at TILE_C=256 (2048x102400)
 
 __all__ = [
     "nb_loglik_fused",
@@ -114,16 +114,24 @@ def _tile_mask(gi, cj, Ng, Nc, tg, tc):
     return ((rows < Ng) & (cols < Nc)).astype(jnp.float32)
 
 
-def _nb_lp(k, elog, a, log_r):
-    """NB log-pmf, Mosaic-lowerable (ops.special in place of lgamma)."""
+def _nb_lp(k, elog, a, log_r, skip_lgamma_k=False):
+    """NB log-pmf, Mosaic-lowerable (ops.special in place of lgamma).
+
+    ``skip_lgamma_k=True`` omits the ``-lgamma(k+1)`` term — it depends
+    only on the observed counts, so its (masked) sum is precomputable once
+    per dataset and added outside the kernel.  That removes one of the two
+    full-tile lgamma evaluations from the forward pass (the kernel's
+    dominant VPU cost)."""
     log_b = -log_r - elog
-    return (
+    lp = (
         lgamma_pos(k + a)
         - lgamma_pos(a)
-        - lgamma_pos(k + 1.0)
         + a * log_b
         - (a + k) * softplus(log_b)
     )
+    if not skip_lgamma_k:
+        lp = lp - lgamma_pos(k + 1.0)
+    return lp
 
 
 def _nb_grads(k, elog, a, log_r, want_r=True):
@@ -176,7 +184,7 @@ def _phase_elog(nu_ref, zeta_ref, cf_ref, dnuT_ref, Db_ref, has_dnu):
     return elog
 
 
-def _phase_fwd_kernel(Ng, Nc, has_dnu, *refs):
+def _phase_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     import jax.experimental.pallas as pl
 
     if has_dnu:
@@ -188,7 +196,7 @@ def _phase_fwd_kernel(Ng, Nc, has_dnu, *refs):
 
     elog = _phase_elog(nu_ref, zeta_ref, cf_ref, dnuT_ref, Db_ref, has_dnu)
     r = disp_ref[:]
-    lp = _nb_lp(S_ref[:], elog, 1.0 / r, jnp.log(r))
+    lp = _nb_lp(S_ref[:], elog, 1.0 / r, jnp.log(r), skip_lgamma_k=skip_k)
     gi, cj = pl.program_id(0), pl.program_id(1)
     tile_sum = jnp.sum(lp * _tile_mask(gi, cj, Ng, Nc, *S_ref.shape))
 
@@ -306,11 +314,13 @@ def _phase_in_specs(Nh, Nb, has_dnu, gene_major):
     return specs
 
 
-def _phase_fused_impl(S, nu, zeta, count_factor, dispersion, delta_nu, Db):
+def _phase_fused_impl(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
+                      lgamma_k_sum):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     has_dnu = delta_nu is not None
+    skip_k = lgamma_k_sum is not None
     ops, (Ng, Nc, Nh, Gp, Cp) = _phase_padded(
         S, nu, zeta, count_factor, dispersion, delta_nu
     )
@@ -318,7 +328,7 @@ def _phase_fused_impl(S, nu, zeta, count_factor, dispersion, delta_nu, Db):
     if has_dnu:
         ops.append(_pad_2d(Db, Nb, Cp))
     out = pl.pallas_call(
-        functools.partial(_phase_fwd_kernel, Ng, Nc, has_dnu),
+        functools.partial(_phase_fwd_kernel, Ng, Nc, has_dnu, skip_k),
         grid=(Gp // TILE_G, Cp // TILE_C),
         in_specs=_phase_in_specs(Nh, Nb, has_dnu, gene_major=True),
         out_specs=pl.BlockSpec(
@@ -327,12 +337,15 @@ def _phase_fused_impl(S, nu, zeta, count_factor, dispersion, delta_nu, Db):
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=_interpret(),
     )(*ops)
-    return out[0, 0]
+    total = out[0, 0]
+    if skip_k:
+        total = total - lgamma_k_sum
+    return total
 
 
 @jax.custom_vjp
 def nb_loglik_fused(S, nu, zeta, count_factor, dispersion,
-                    delta_nu=None, Db=None):
+                    delta_nu=None, Db=None, lgamma_k_sum=None):
     """Fused ``sum NB_logpmf(S | nu @ zeta^T [+ dnu offsets] + cf, r)``.
 
     Args:
@@ -343,18 +356,22 @@ def nb_loglik_fused(S, nu, zeta, count_factor, dispersion,
       dispersion: per-gene NB dispersion r (Ng,).
       delta_nu: optional per-batch offsets (Nb, Ng).
       Db: batch one-hot design (Nb, Nc), required with delta_nu.
+      lgamma_k_sum: optional precomputed ``sum(lgamma(S + 1))`` — a
+        dataset constant; providing it removes one full-tile lgamma from
+        the forward kernel (~25% of its VPU cost).
 
     Returns a scalar; differentiable w.r.t. nu, zeta, count_factor,
     dispersion and delta_nu (S and Db are data).
     """
     return _phase_fused_impl(
-        S, nu, zeta, count_factor, dispersion, delta_nu, Db
+        S, nu, zeta, count_factor, dispersion, delta_nu, Db, lgamma_k_sum
     )
 
 
-def _phase_fused_fwd(S, nu, zeta, count_factor, dispersion, delta_nu, Db):
+def _phase_fused_fwd(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
+                     lgamma_k_sum):
     out = _phase_fused_impl(
-        S, nu, zeta, count_factor, dispersion, delta_nu, Db
+        S, nu, zeta, count_factor, dispersion, delta_nu, Db, lgamma_k_sum
     )
     return out, (S, nu, zeta, count_factor, dispersion, delta_nu, Db)
 
@@ -427,6 +444,7 @@ def _phase_fused_bwd(residuals, g):
         ddisp_p[:Ng, 0],
         d_dnu,
         None,
+        None,  # lgamma_k_sum is a dataset constant
     )
 
 
@@ -459,7 +477,7 @@ def _velo_elogs(nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref,
     return elogS, elogU, dEs, gamma, x, xr
 
 
-def _velo_fwd_kernel(Ng, Nc, has_dnu, *refs):
+def _velo_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     import jax.experimental.pallas as pl
 
     if has_dnu:
@@ -476,7 +494,10 @@ def _velo_fwd_kernel(Ng, Nc, has_dnu, *refs):
     )
     r = disp_ref[:]
     a, log_r = 1.0 / r, jnp.log(r)
-    lp = _nb_lp(S_ref[:], elogS, a, log_r) + _nb_lp(U_ref[:], elogU, a, log_r)
+    lp = (
+        _nb_lp(S_ref[:], elogS, a, log_r, skip_lgamma_k=skip_k)
+        + _nb_lp(U_ref[:], elogU, a, log_r, skip_lgamma_k=skip_k)
+    )
     gi, cj = pl.program_id(0), pl.program_id(1)
     tile_sum = jnp.sum(lp * _tile_mask(gi, cj, Ng, Nc, *S_ref.shape))
 
@@ -635,18 +656,20 @@ def _velo_in_specs(Nh, Nb, has_dnu, gene_major):
 
 
 def _velo_fused_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
-                     log_beta, log_gamma, dispersion, delta_nu, Db):
+                     log_beta, log_gamma, dispersion, delta_nu, Db,
+                     lgamma_k_sum):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     has_dnu = delta_nu is not None
+    skip_k = lgamma_k_sum is not None
     ops, (Ng, Nc, Nh, Gp, Cp) = _velo_padded(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
         dispersion, delta_nu, Db
     )
     Nb = delta_nu.shape[0] if has_dnu else 0
     out = pl.pallas_call(
-        functools.partial(_velo_fwd_kernel, Ng, Nc, has_dnu),
+        functools.partial(_velo_fwd_kernel, Ng, Nc, has_dnu, skip_k),
         grid=(Gp // TILE_G, Cp // TILE_C),
         in_specs=_velo_in_specs(Nh, Nb, has_dnu, gene_major=True),
         out_specs=pl.BlockSpec(
@@ -655,30 +678,35 @@ def _velo_fused_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=_interpret(),
     )(*ops)
-    return out[0, 0]
+    total = out[0, 0]
+    if skip_k:
+        total = total - lgamma_k_sum
+    return total
 
 
 @jax.custom_vjp
 def nbsu_loglik_fused(S, U, nu, zeta, zeta_dphi, count_factor, omega,
                       log_beta, log_gamma, dispersion,
-                      delta_nu=None, Db=None):
+                      delta_nu=None, Db=None, lgamma_k_sum=None):
     """Fused velocity-stage joint NB log-likelihood of S and U.
 
     The ElogS/ElogU/dEs (Ng, Nc) intermediates stay in VMEM; differentiable
     w.r.t. nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-    dispersion and delta_nu.  S, U, Db are data.
+    dispersion and delta_nu.  S, U, Db are data.  ``lgamma_k_sum``:
+    optional precomputed ``sum(lgamma(S+1)) + sum(lgamma(U+1))`` dataset
+    constant, removing two full-tile lgammas from the forward kernel.
     """
     return _velo_fused_impl(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-        dispersion, delta_nu, Db
+        dispersion, delta_nu, Db, lgamma_k_sum
     )
 
 
 def _velo_fused_fwd(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
-                    log_gamma, dispersion, delta_nu, Db):
+                    log_gamma, dispersion, delta_nu, Db, lgamma_k_sum):
     out = _velo_fused_impl(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-        dispersion, delta_nu, Db
+        dispersion, delta_nu, Db, lgamma_k_sum
     )
     return out, (S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
                  log_gamma, dispersion, delta_nu, Db)
@@ -763,6 +791,7 @@ def _velo_fused_bwd(residuals, g):
         ddisp[:Ng, 0],
         d_dnu,
         None,
+        None,  # lgamma_k_sum is a dataset constant
     )
 
 

@@ -164,6 +164,20 @@ def _extract_counts(adata, normalize):
     )
 
 
+def _lgamma_k_sum(use_fused_nb, *counts):
+    """Dataset constant ``sum(lgamma(K+1))`` over the count matrices: lets
+    the fused NB kernel skip one full-tile lgamma per step (the constant
+    re-enters the log-likelihood outside the kernel)."""
+    if not use_fused_nb:
+        return None
+    from scipy.special import gammaln
+
+    total = 0.0
+    for K in counts:
+        total += float(gammaln(np.asarray(K, np.float64) + 1.0).sum())
+    return np.float32(total)
+
+
 def preprocess_for_phase_estimation(
     adata,
     cycle_obj: Cycle,
@@ -255,6 +269,7 @@ def preprocess_for_phase_estimation(
         with_delta_nu=with_delta_nu,
         gene_selection_model=gene_selection_model,
         use_fused_nb=use_fused_nb,
+        lgamma_k_sum=_lgamma_k_sum(use_fused_nb, S),
         **basis_cfg,
     )
     return Metapars(
@@ -406,6 +421,7 @@ def preprocess_for_velocity_estimation(
         model_type=model_type,
         rho_rank=rho_rank,
         use_fused_nb=use_fused_nb,
+        lgamma_k_sum=_lgamma_k_sum(use_fused_nb, S, U),
         **basis_cfg,
     )
     return Metapars(
