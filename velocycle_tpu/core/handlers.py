@@ -33,6 +33,7 @@ __all__ = [
     "condition",
     "replay",
     "block",
+    "scale",
     "Trace",
     "check_plate_shapes",
 ]
@@ -54,7 +55,8 @@ class Trace(dict):
         total = 0.0
         for name, site in self.items():
             if site["type"] == "sample" and site_filter(name, site):
-                total = total + site["fn"].log_prob(site["value"]).sum()
+                lp = site["fn"].log_prob(site["value"]).sum()
+                total = total + lp * site.get("scale", 1.0)
         return total
 
     def nodes(self):
@@ -274,6 +276,26 @@ class block(Messenger):
     def process_message(self, msg):
         if self.hide_fn(msg):
             msg["hidden"] = True
+
+
+class scale(Messenger):
+    """Multiply selected sites' log-prob contributions by ``scale_factor``
+    (pyro ``poutine.scale`` equivalent).  Used by the minibatch SVI path to
+    upweight cell-local terms so each block step is an unbiased full-ELBO
+    estimate (`infer.minibatch`).  ``site_filter(name)`` selects sites; by
+    default every sample site is scaled."""
+
+    def __init__(self, fn=None, scale_factor=1.0, site_filter=None):
+        super().__init__(fn)
+        self.scale_factor = scale_factor
+        self.site_filter = site_filter
+
+    def process_message(self, msg):
+        if msg["type"] != "sample":
+            return
+        if self.site_filter is not None and not self.site_filter(msg["name"]):
+            return
+        msg["scale"] = msg.get("scale", 1.0) * self.scale_factor
 
 
 class plate(Messenger):

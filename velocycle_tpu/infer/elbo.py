@@ -30,7 +30,10 @@ def _logp_sum(tr, site_filter=lambda name, site: True):
             continue
         if not site_filter(name, site):
             continue
-        total = total + site["fn"].log_prob(site["value"]).sum()
+        lp = site["fn"].log_prob(site["value"]).sum()
+        # site scale (handlers.scale): minibatch blocks upweight cell-local
+        # terms so each block loss is an unbiased full-ELBO estimate
+        total = total + lp * site.get("scale", 1.0)
     return total
 
 

@@ -41,7 +41,7 @@ _VELOCITY_CELL_AXES = {
     "count_factor": 0, "phixy_prior": 0, "Db": 1, "D": 1,
 }
 # variational params with a leading cell axis
-_PARAM_CELL_AXES = {"phixy_locs": 0}
+_PARAM_CELL_AXES = {"phixy_locs": 0, "phi_locs": 0}
 
 
 def _spec_for(name, ndim, cell_axes, axis="cells"):
