@@ -1,4 +1,4 @@
-"""Benchmark: SVI / MCMC throughput against every BASELINE.md row.
+"""Benchmark: SVI / MCMC / SMC throughput against every BASELINE.md row.
 
 Rows (reference anchors from the executed tutorial notebooks, 2019 MBP CPU):
 
@@ -8,22 +8,30 @@ Rows (reference anchors from the executed tutorial notebooks, 2019 MBP CPU):
   phase_2s      phase SVI, two samples (Nc=4000, delta_nu on)   (12.1)
   velo_const_2s velocity SVI, const omega, two-sample           ( 9.1)
   velo_per_2s   velocity SVI, periodic omega, two-sample        ( 9.1)
-  nuts          NUTS samples/s, phase model, 8 chains           (no anchor —
-                the reference has no MCMC)
-  smc           SMC particle-moves/s, adaptive tempering        (no anchor)
   phase_scale   phase SVI at Stereo-seq scale (2048 x 102400,
-                fused Pallas NB kernel)                          (no anchor)
+                fused Pallas NB kernel), plus the same config on
+                the plain XLA path for the kernel-vs-XLA delta   (no anchor —
+                the reference regime is tutorials/Stereo_seq_BrainRG.ipynb,
+                minutes per step on a laptop)
+  smc           SMC particle-moves/s, adaptive tempering        (no anchor)
+  nuts          NUTS at its BASELINE design point: 256 chains
+                (vmap on one chip; the pod story shards the same
+                axis), samples/s + min/median ESS/s + max
+                split-R-hat                                     (no anchor)
+  kernel_parity on-chip compiled-Mosaic vs plain-jnp loss deltas
+                for both fused kernels (phase + velocity S/U)
 
 Measurement: the `lax.scan`-fused chunk path (`SVI.update_chunk`) with the
 Pallas fused NB kernels enabled — the TPU hot path.  Steps/s == ELBO
 evals/s (each step is one full-batch ELBO + backward + ClippedAdam update,
 same as the reference).
 
-All measurements run in a watchdogged worker subprocess that streams one
-JSON line per row: the remote-TPU relay in this environment occasionally
-wedges (hangs that survive the client), so the parent enforces a global
-timeout and emits whatever rows completed.  Headline = phase_1s, the
-BASELINE.md row 1 config.
+Row groups run in separate watchdogged worker subprocesses, EACH with its
+own time budget (the remote-TPU relay in this environment occasionally
+wedges; a hang in one group must not cost the others their rows).  The
+at-scale groups run FIRST so the headline evidence cannot be starved by
+earlier rows.  The parent emits whatever rows completed and derives the
+unit string from the rows actually captured.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -41,7 +49,18 @@ BASELINES = {
     "velo_const_2s": 9.1,
     "velo_per_2s": 9.1,
 }
-WORKER_TIMEOUT_S = 1500
+# (group name, per-group budget seconds).  Worst case sums to ~1800 s but
+# the expected total is well under half of that; the parent also enforces
+# GLOBAL_BUDGET_S and shrinks later budgets to whatever remains.
+GROUPS = [
+    ("headline", 240),
+    ("scale", 420),
+    ("smc", 300),
+    ("nuts", 420),
+    ("parity", 180),
+    ("svi5", 420),
+]
+GLOBAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", 1800))
 CHUNK, REPS = 500, 4
 
 
@@ -49,7 +68,7 @@ def _emit(row):
     print("ROW " + json.dumps(row), flush=True)
 
 
-def _bench_svi(svi, data, label, chunk=CHUNK, reps=REPS):
+def _bench_svi(svi, data, label, chunk=CHUNK, reps=REPS, extra=None):
     import jax
 
     state = svi.init(jax.random.PRNGKey(0), data)
@@ -63,10 +82,12 @@ def _bench_svi(svi, data, label, chunk=CHUNK, reps=REPS):
     last = float(jax.device_get(losses[-1]))
     dt = time.perf_counter() - t0
     rate = reps * chunk / dt
-    _emit({
+    row = {
         "row": label, "evals_per_s": round(rate, 1),
         "compile_s": round(compile_s, 1), "final_loss": round(last, 1),
-    })
+    }
+    row.update(extra or {})
+    _emit(row)
     return rate
 
 
@@ -125,12 +146,15 @@ def _velocity_row(label, Nc, omega_h, two_sample, seed):
 
 
 def _nuts_row():
-    import jax
+    """NUTS at its BASELINE design point: 256 chains (the 'sharded over
+    pod' config runs this exact vmap axis over a mesh; one chip holds all
+    256 because chains are embarrassingly parallel)."""
     import numpy as np
+    import jax
 
     from velocycle_tpu import preprocess_for_phase_estimation
     from velocycle_tpu.core import handlers
-    from velocycle_tpu.infer.mcmc import MCMC
+    from velocycle_tpu.infer.mcmc import MCMC, effective_sample_size
 
     adata, cycle, phases, _ = _sim(500, 50, 1, 13)
     mp = preprocess_for_phase_estimation(
@@ -140,24 +164,85 @@ def _nuts_row():
     model = handlers.condition(
         mp.model_fn, data={"phi_xy": mp.data.phixy_prior}
     )
-    chains, samples = 8, 100
-    m = MCMC(model, kernel="nuts", num_warmup=100, num_samples=samples,
-             num_chains=chains, max_depth=6)
+    # SVI warm start: with 25k observations the posterior is thousands of
+    # prior sds wide of a prior draw; chains must START in the typical set
+    # (SVI locs) for a 200-step warmup to adapt rather than travel
+    from velocycle_tpu.fit import PhaseFitModel
+
+    fm = PhaseFitModel(
+        mp, condition_on={"phi_xy": mp.data.phixy_prior},
+        get_posterior=False,
+    )
+    fm.fit(num_steps=500, key=jax.random.PRNGKey(2))
+    init_values = {
+        "nu": fm.params["nu_locs"],
+        "shape_inv": fm.params["shape_inv_locs"],
+    }
+    # Fisher-block preconditioner: the conditioned phase model is an NB
+    # GLM in each gene's harmonic block, and the basis columns (1, cos,
+    # sin at the data's phases) are far from orthogonal -> per-gene 3x3
+    # posterior correlations ~0.98 that no diagonal metric can whiten.
+    # The analytic Fisher information I_g = sum_c w_gc zeta_c zeta_c^T +
+    # prior precision (w = mu r/(mu+r)) gives the near-exact posterior
+    # covariance; block_precondition samples in its whitened coordinates.
+    from velocycle_tpu.models.basis import expression_basis
+    import jax.numpy as jnp
+
+    pxy = np.asarray(jax.device_get(mp.data.phixy_prior))
+    zeta = np.asarray(jax.device_get(expression_basis(
+        mp.data, jnp.asarray(np.arctan2(pxy[:, 1], pxy[:, 0]))
+    )))
+    elog = (fm.params["nu_locs"] @ zeta.T
+            + np.asarray(jax.device_get(mp.data.count_factor))[None, :])
+    mu = np.exp(elog)
+    r_hat = fm.params["shape_inv_locs"]
+    w = mu * r_hat[:, None] / (mu + r_hat[:, None])
+    F = np.einsum("gc,ci,cj->gij", w, zeta, zeta)
+    sd_nu = np.asarray(jax.device_get(mp.data.sd_nu))
+    F += np.apply_along_axis(np.diag, -1, 1.0 / np.maximum(sd_nu**2, 1e-12))
+    # shape_inv is Delta-guided (no scales): use the exact local curvature
+    # (Hessian diagonal at the SVI point via HVP probes), capped so flat
+    # Poisson-limit directions don't jitter inits off the r->0 cliff
+    from velocycle_tpu.infer.mcmc import init_model
+
+    info0 = init_model(model, mp.data, init_values=init_values)
+    sizes = {n: meta[1] for n, meta in info0.site_meta.items()}
+    dim = sum(sizes.values())
+    g = jax.grad(info0.potential_fn)
+    hdiag = np.asarray(jax.device_get(jax.jit(lambda: jax.vmap(
+        lambda v: jnp.vdot(v, jax.jvp(g, (info0.init_u,), (v,))[1])
+    )(jnp.eye(dim)))()))
+    i0 = sizes.get("nu", 0)
+    var_shape = 1.0 / np.maximum(hdiag[i0:i0 + sizes["shape_inv"]], 1.0)
+    pre = {"nu": np.linalg.inv(F), "shape_inv": var_shape}
+    chains, samples, warmup = 256, 100, 400
+    m = MCMC(model, kernel="nuts", num_warmup=warmup, num_samples=samples,
+             num_chains=chains, max_depth=6, init_values=init_values,
+             preconditioner=pre, init_jitter=2.0)
     t0 = time.perf_counter()
     m.run(jax.random.PRNGKey(0), mp.data)
-    _ = m.get_samples()
+    jax.block_until_ready(m._samples_u)
     cold = time.perf_counter() - t0
-    t0 = time.perf_counter()  # same shapes: compiled program is reused
+    t0 = time.perf_counter()  # compiled sampler is reused across runs
     m.run(jax.random.PRNGKey(1), mp.data)
-    _ = m.get_samples()
+    jax.block_until_ready(m._samples_u)
     dt = time.perf_counter() - t0
+
+    summ = m.summary()
+    ess = np.concatenate([v["ess"].reshape(-1) for v in summ.values()])
+    rhat = np.concatenate([v["rhat"].reshape(-1) for v in summ.values()])
     _emit({
-        "row": "nuts", "samples_per_s": round(chains * samples / dt, 1),
+        "row": "nuts",
+        "samples_per_s": round(chains * samples / dt, 1),
+        "ess_per_s_min": round(float(np.nanmin(ess)) / dt, 1),
+        "ess_per_s_median": round(float(np.nanmedian(ess)) / dt, 1),
+        "max_split_rhat": round(float(np.nanmax(rhat)), 3),
+        "chains": chains,
         "cold_s": round(cold, 1),
         "accept_rate": round(m.accept_rate(), 3),
-        "note": "warm run (sampling incl. 100-step warmup phase); 8 "
-                "chains x 100 samples, Ng=50 phase model, phases "
-                "conditioned",
+        "note": f"warm run (incl. {warmup}-step warmup); {chains} chains x "
+                f"{samples} samples, Ng=50 phase model, phases conditioned; "
+                "ESS = split-chain bulk ESS over all scalar params",
     })
 
 
@@ -168,7 +253,12 @@ def _smc_row():
     from velocycle_tpu.core import handlers
     from velocycle_tpu.infer.smc import SMC
 
-    adata, cycle, phases, _ = _sim(500, 50, 1, 14)
+    # Ng=20 x Nc=200: the largest config whose prior-to-posterior tempering
+    # path fits the row budget (bigger data -> posterior concentration ->
+    # stage count grows with sd of the prior-predictive loglik; Ng=50 x
+    # Nc=500 needs >400 stages at target_ess=0.5 and is not a useful
+    # benchmark unit)
+    adata, cycle, phases, _ = _sim(200, 20, 1, 14)
     mp = preprocess_for_phase_estimation(
         adata, cycle, phases, n_harmonics=1, with_delta_nu=False,
     )
@@ -176,7 +266,8 @@ def _smc_row():
         mp.model_fn, data={"phi_xy": mp.data.phixy_prior}
     )
     n = 256
-    smc = SMC(model, num_particles=n, num_moves=2)
+    smc = SMC(model, num_particles=n, num_moves=2, target_ess=0.35,
+              max_stages=60)
     t0 = time.perf_counter()
     smc.run(jax.random.PRNGKey(0), mp.data)
     dt = time.perf_counter() - t0
@@ -185,28 +276,25 @@ def _smc_row():
         "row": "smc",
         "particle_moves_per_s": round(n * stages * 2 / dt, 1),
         "stages": int(stages),
+        "wall_s": round(dt, 1),
         "log_evidence": round(smc.log_evidence(), 1),
-        "note": f"incl. compile; {n} particles, adaptive tempering, "
-                "2 HMC moves/stage, Ng=50 phase model",
+        "note": f"incl. compile; {n} particles, adaptive tempering to "
+                "beta=1, 2 HMC moves/stage, Ng=20 x Nc=200 phase model, "
+                "phases conditioned",
     })
 
 
-def _scale_row():
-    """Stereo-seq-class phase fit: 2048 genes x 102400 cells, fused."""
+def _scale_data(Ng, Nc, H):
     import jax
     import jax.numpy as jnp
-
-    from velocycle_tpu.models import phase as phase_mod
-    from velocycle_tpu.models.metapars import PhaseData
-    from velocycle_tpu.infer import SVI, Trace_ELBO, clipped_adam
-
     from jax.scipy.special import gammaln
 
-    Ng, Nc, H = 2048, 102400, 2
+    from velocycle_tpu.models.metapars import PhaseData
+
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
     S = jnp.floor(jnp.exp(jax.random.normal(ks[0], (Ng, Nc)) * 0.8 + 1.0))
     ang = jax.random.normal(ks[1], (Nc,)) * 2.0
-    data = PhaseData(
+    return PhaseData(
         S=S, logS=S,
         lgamma_k_sum=jax.jit(lambda s: gammaln(s + 1.0).sum())(S),
         count_factor=jax.random.normal(ks[2], (Nc,)) * 0.1,
@@ -222,34 +310,125 @@ def _scale_row():
         noisemodel="NegativeBinomial", with_delta_nu=False,
         use_fused_nb=True,
     )
+
+
+def _scale_row():
+    """Stereo-seq-class phase fit: 2048 genes x 102400 cells, fused Pallas
+    kernel first (the headline), then the identical config on the plain XLA
+    path — the measured kernel-vs-XLA delta at the scale the kernel exists
+    for (no (Ng, Nc) HBM intermediates)."""
+    from velocycle_tpu.models import phase as phase_mod
+    from velocycle_tpu.infer import SVI, Trace_ELBO, clipped_adam
+
+    data = _scale_data(2048, 102400, 2)
     svi = SVI(phase_mod.phase_model, phase_mod.phase_guide, clipped_adam(),
               Trace_ELBO())
-    _bench_svi(svi, data, "phase_scale", chunk=25, reps=4)
+    fused = _bench_svi(svi, data, "phase_scale", chunk=25, reps=4,
+                       extra={"Ng": 2048, "Nc": 102400, "kernel": "pallas"})
+    try:
+        plain = _bench_svi(
+            svi, data.replace(use_fused_nb=False), "phase_scale_xla",
+            chunk=10, reps=2,
+            extra={"Ng": 2048, "Nc": 102400, "kernel": "xla"},
+        )
+        _emit({"row": "phase_scale_speedup",
+               "fused_over_xla": round(fused / plain, 2)})
+    except Exception as e:  # plain path may OOM at this scale — that IS
+        _emit({"row": "phase_scale_xla",          # the kernel's point
+               "error": f"{type(e).__name__}: {str(e)[:200]}"})
 
 
-def _worker():
+def _parity_row():
+    """On-chip compiled-Mosaic vs plain-jnp loss parity for both fused
+    kernels (VERDICT r2 weak #7: the test suite only runs interpret mode
+    off-TPU; this row pins the compiled kernels to the reference math on
+    the real chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from velocycle_tpu.ops import nb_kernels as K
+
+    Ng, Nc, Nh, Nb = 256, 8192, 5, 2
+    ks = jax.random.split(jax.random.PRNGKey(42), 10)
+    S = jnp.floor(jnp.exp(jax.random.normal(ks[0], (Ng, Nc)) * 0.7 + 1.2))
+    U = jnp.floor(jnp.exp(jax.random.normal(ks[1], (Ng, Nc)) * 0.7 + 0.6))
+    nu = jax.random.normal(ks[2], (Ng, Nh)) * 0.5
+    ang = jax.random.uniform(ks[3], (Nc,)) * 2 * jnp.pi
+    zeta = jnp.stack(
+        [jnp.ones_like(ang), jnp.cos(ang), jnp.sin(ang),
+         jnp.cos(2 * ang), jnp.sin(2 * ang)], -1)
+    zeta_dphi = jnp.stack(
+        [jnp.zeros_like(ang), -jnp.sin(ang), jnp.cos(ang),
+         -2 * jnp.sin(2 * ang), 2 * jnp.cos(2 * ang)], -1)
+    cf = jax.random.normal(ks[4], (Nc,)) * 0.2
+    disp = jnp.exp(jax.random.normal(ks[5], (Ng,)) * 0.3 + 1.0)
+    dnu = jax.random.normal(ks[6], (Nb, Ng)) * 0.1
+    Db = jnp.stack([(jnp.arange(Nc) % 2) == i for i in range(Nb)]
+                   ).astype(jnp.float32)
+    omega = jnp.exp(jax.random.normal(ks[7], (Nc,)) * 0.2 - 1.0)
+    log_beta = jax.random.normal(ks[8], (Ng,)) * 0.2
+    log_gamma = jax.random.normal(ks[9], (Ng,)) * 0.2
+
+    rows = {}
+    f = jax.jit(K.nb_loglik_fused)(S, nu, zeta, cf, disp, dnu, Db)
+    r = jax.jit(K.nb_loglik_reference)(S, nu, zeta, cf, disp, dnu, Db)
+    f, r = float(f), float(r)
+    rows["phase"] = {"fused": f, "reference": r,
+                     "rel_delta": abs(f - r) / abs(r)}
+    f = jax.jit(K.nbsu_loglik_fused)(
+        S, U, nu, zeta, zeta_dphi, cf, omega, log_beta, log_gamma, disp,
+        dnu, Db)
+    r = jax.jit(K.nbsu_loglik_reference)(
+        S, U, nu, zeta, zeta_dphi, cf, omega, log_beta, log_gamma, disp,
+        dnu, Db)
+    f, r = float(f), float(r)
+    rows["velocity"] = {"fused": f, "reference": r,
+                        "rel_delta": abs(f - r) / abs(r)}
+    worst = max(v["rel_delta"] for v in rows.values())
+    _emit({
+        "row": "kernel_parity",
+        "max_rel_delta": worst,
+        "pass": bool(worst < 1e-3),
+        "detail": {k: {kk: (round(vv, 1) if kk != "rel_delta" else vv)
+                       for kk, vv in v.items()} for k, v in rows.items()},
+        "note": "compiled Mosaic kernels vs plain-jnp reference math, "
+                "on-chip, Ng=256 x Nc=8192 (+delta_nu batch offsets)",
+    })
+
+
+def _worker(group):
     import jax
 
     # persistent compile cache: dedups identical HLO (e.g. the second NUTS
-    # run) and survives across bench invocations
+    # run) and survives across bench invocations and worker processes
     jax.config.update("jax_compilation_cache_dir", "/tmp/velocycle_tpu_cc")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    _phase_row("phase_1s", 2000, False, 7)
-    _velocity_row("velo_const_1s", 2000, 0, False, 7)
-    _velocity_row("velo_per_1s", 2000, 1, False, 7)
-    _phase_row("phase_2s", 4000, True, 8)
-    _velocity_row("velo_const_2s", 4000, 0, True, 8)
-    _velocity_row("velo_per_2s", 4000, 1, True, 8)
-    _nuts_row()
-    _smc_row()
-    _scale_row()
+    if group == "headline":
+        _phase_row("phase_1s", 2000, False, 7)
+    elif group == "scale":
+        _scale_row()
+    elif group == "smc":
+        _smc_row()
+    elif group == "nuts":
+        _nuts_row()
+    elif group == "parity":
+        _parity_row()
+    elif group == "svi5":
+        _velocity_row("velo_const_1s", 2000, 0, False, 7)
+        _velocity_row("velo_per_1s", 2000, 1, False, 7)
+        _phase_row("phase_2s", 4000, True, 8)
+        _velocity_row("velo_const_2s", 4000, 0, True, 8)
+        _velocity_row("velo_per_2s", 4000, 1, True, 8)
+    else:
+        raise SystemExit(f"unknown group {group!r}")
 
 
 def main():
     import threading
 
     rows = {}
+    group_status = {}
 
     def _reader(pipe):
         for line in pipe:
@@ -260,21 +439,36 @@ def main():
                 except json.JSONDecodeError:
                     pass
 
-    try:
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker"],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-        )
-        t = threading.Thread(target=_reader, args=(proc.stdout,),
-                             daemon=True)
-        t.start()
+    t_start = time.monotonic()
+    for group, budget in GROUPS:
+        remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
+        budget = min(budget, remaining)
+        if budget < 30:
+            group_status[group] = "skipped (global budget exhausted)"
+            continue
         try:
-            proc.wait(timeout=WORKER_TIMEOUT_S)
-        except subprocess.TimeoutExpired:
-            proc.kill()  # emit whatever rows completed
-        t.join(timeout=10)
-    except OSError:
-        pass
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", group],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True,
+            )
+            t = threading.Thread(target=_reader, args=(proc.stdout,),
+                                 daemon=True)
+            t.start()
+            try:
+                proc.wait(timeout=budget)
+                group_status[group] = (
+                    "ok" if proc.returncode == 0
+                    else f"exit {proc.returncode}"
+                )
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                group_status[group] = f"timeout after {int(budget)}s"
+            t.join(timeout=10)
+        except OSError as e:
+            group_status[group] = f"spawn failed: {e}"
 
     headline = rows.get("phase_1s", {}).get("evals_per_s", 0.0)
     for name, anchor in BASELINES.items():
@@ -282,21 +476,23 @@ def main():
             rows[name]["vs_baseline"] = round(
                 rows[name]["evals_per_s"] / anchor, 1
             )
+    captured = sorted(rows.keys())
     print(json.dumps({
         "metric": "phase_svi_elbo_evals_per_s",
         "value": headline,
         "unit": (
             "ELBO evals/s (Ng=200, Nc=2000, H=2, NB, fused Pallas kernel, "
-            "lax.scan chunk path; extra: all 6 BASELINE rows + NUTS + "
-            "2048x102400 scale row)"
+            "lax.scan chunk path; extra rows captured: "
+            + (", ".join(captured) if captured else "none")
+            + ")"
         ),
         "vs_baseline": round(headline / BASELINES["phase_1s"], 2),
-        "extra": rows,
+        "extra": {"rows": rows, "groups": group_status},
     }))
 
 
 if __name__ == "__main__":
     if "--worker" in sys.argv:
-        _worker()
+        _worker(sys.argv[sys.argv.index("--worker") + 1])
     else:
         main()

@@ -1,14 +1,18 @@
 """Full-posterior inference on the phase model with the MCMC and SMC
 backends — capabilities beyond the SVI-only reference.
 
-NUTS: multi-chain, dual-averaging warmup, split-Rhat diagnostics.
-SMC: adaptive likelihood tempering with log-evidence estimate.
+The `MCMCFitModel` / `SMCFitModel` drivers own the whole workflow the
+SVI drivers have (reference parity: `phase_inference_model.py:81-341`):
+conditioning, SVI warm start + automatic Fisher/Hessian preconditioning,
+posterior containers, diagnostics — one `.run()` call each.
 """
 import numpy as np
 import jax
 
-from velocycle_tpu import Cycle, Phases, preprocess_for_phase_estimation
-from velocycle_tpu.infer import MCMC, SMC
+from velocycle_tpu import (
+    Cycle, MCMCFitModel, Phases, SMCFitModel,
+    preprocess_for_phase_estimation,
+)
 from velocycle_tpu.simulate import simulate_data
 
 NC, NG = 60, 20
@@ -29,32 +33,32 @@ def main():
         sim, cycle, phases, n_harmonics=1, with_delta_nu=False,
     )
 
-    def model():
-        mp.model_fn(mp.data)
-
     # -- NUTS --------------------------------------------------------------
-    mcmc = MCMC(model, kernel="nuts", num_warmup=400, num_samples=400,
-                num_chains=4, max_depth=6, init_jitter=0.1)
-    mcmc.run(jax.random.PRNGKey(0))
-    summ = mcmc.summary()
-    print(f"NUTS accept {mcmc.accept_rate():.2f}")
-    print(f"  nu[0,0]: mean {summ['nu']['mean'][0]:.3f} "
-          f"sd {summ['nu']['sd'][0]:.3f} rhat {summ['nu']['rhat'][0]:.3f}")
-    phi_xy = mcmc.get_samples()["phi_xy"]         # (draws, Nc, 2)
-    phi = np.arctan2(phi_xy[..., 1], phi_xy[..., 0])
-    post_mean_phase = np.angle(np.exp(1j * phi).mean(0))
+    fm = MCMCFitModel(mp, num_chains=4, num_warmup=400, num_samples=400)
+    fm.run(jax.random.PRNGKey(0))
+    d = fm.diagnostics
+    print(f"NUTS accept {d['accept_rate']:.2f} "
+          f"max split-Rhat {d['max_split_rhat']:.3f} "
+          f"ESS min/med {d['min_ess']:.0f}/{d['median_ess']:.0f}")
+    nu_mean = fm.posterior["nu"].mean(0)
+    nu_sd = fm.posterior["nu"].std(0)
+    print(f"  nu[0,0]: mean {nu_mean[0, 0]:.3f} sd {nu_sd[0, 0]:.3f}")
     cc = np.abs(np.exp(
-        1j * (post_mean_phase - sim.obs["simulated_phis"].values)
+        1j * (fm.phase_fit.phis - sim.obs["simulated_phis"].values)
     ).mean())
     print(f"  posterior-mean phase vs truth: circular corr {cc:.3f}")
 
     # -- SMC ---------------------------------------------------------------
-    smc = SMC(model, num_particles=512, num_moves=3, max_stages=100)
-    smc.run(jax.random.PRNGKey(1))
-    print(f"SMC: {len(smc.temperature_schedule)} tempering stages, "
-          f"logZ {smc.log_evidence():.1f}")
-    s = smc.get_samples()
-    print(f"  nu[0,0] particle mean {s['nu'][:, 0, 0].mean():.3f}")
+    sm = SMCFitModel(
+        mp, condition_on={"phi_xy": mp.data.phixy_prior},
+        num_particles=512, num_moves=3, max_stages=200,
+    )
+    sm.run(jax.random.PRNGKey(1))
+    print(f"SMC: {len(sm.temperature_schedule)} tempering stages, "
+          f"logZ {sm.log_evidence:.1f}")
+    print(f"  nu[0,0] particle mean "
+          f"{sm.posterior['nu'][:, 0, 0].mean():.3f}; "
+          f"dispersion extracted: {sm.cycle_fit.disp is not None}")
 
 
 if __name__ == "__main__":

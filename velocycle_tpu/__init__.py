@@ -16,6 +16,7 @@ from .alignment import invert_direction, shift_zero  # noqa: F401
 from .anndata_lite import AnnDataLite  # noqa: F401
 from .containers import AngularSpeed, Cycle, Phases  # noqa: F401
 from .fit import PhaseFitModel, VelocityFitModel  # noqa: F401
+from .fit_mcmc import MCMCFitModel, SMCFitModel  # noqa: F401
 from .preprocessing import (  # noqa: F401
     filter_shared_genes,
     make_design_matrix,

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..core import constraints as C
 from ..core import handlers
 
-__all__ = ["init_model", "hmc", "nuts", "MCMC"]
+__all__ = ["init_model", "hmc", "nuts", "MCMC", "effective_sample_size",
+           "block_precondition"]
 
 _DEBUG = False
 
@@ -52,9 +53,17 @@ class ModelInfo(NamedTuple):
     wrap_fn: callable = None      # flat_u -> flat_u with S^1 coords wrapped
 
 
-def init_model(model, *args, key=None, init_strategy="prior", **kwargs):
+def init_model(model, *args, key=None, init_strategy="prior",
+               init_values=None, **kwargs):
     """Trace the model once to discover latent sites, build bijections, and
-    return a `ModelInfo` with a flat potential function."""
+    return a `ModelInfo` with a flat potential function.
+
+    ``init_values`` maps site names to CONSTRAINED initial values (e.g. a
+    converged SVI guide's locs) — the recommended warm start for posteriors
+    far tighter than the prior: a prior-drawn init can sit many thousands
+    of posterior standard deviations from the typical set, which no
+    fixed-depth NUTS warmup can traverse.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     tr = handlers.trace(handlers.seed(model, key)).get_trace(*args, **kwargs)
@@ -72,10 +81,16 @@ def init_model(model, *args, key=None, init_strategy="prior", **kwargs):
         ) not in ("real", "positive", "unit_interval", "circular"):
             raise ValueError(f"site {name!r} has unsupported support")
         value = jnp.asarray(site["value"], jnp.float32)
+        if init_values is not None and name in init_values:
+            value = jnp.asarray(init_values[name], jnp.float32).reshape(
+                value.shape
+            )
         constraint = C.biject_to(getattr(fn, "support", "real"))
         site_meta[name] = (value.shape, int(value.size), constraint)
         u0 = constraint.inverse(value)
-        if init_strategy == "zero":
+        if init_strategy == "zero" and (
+            init_values is None or name not in init_values
+        ):
             u0 = jnp.zeros_like(u0)
         init_parts.append(u0.reshape(-1))
     init_u = jnp.concatenate(init_parts) if init_parts else jnp.zeros((0,))
@@ -133,21 +148,120 @@ def init_model(model, *args, key=None, init_strategy="prior", **kwargs):
     return ModelInfo(potential_fn, unflatten, init_u, site_meta, wrap_fn)
 
 
+def block_precondition(info: ModelInfo, blocks):
+    """Whiten a `ModelInfo` with a per-site linear preconditioner.
+
+    ``blocks`` maps site names to either a per-coordinate variance vector
+    (diagonal scaling) or an SPD covariance of shape ``(B, k, k)`` for a
+    site of shape ``(B, k)`` — e.g. per-gene harmonic-coefficient
+    covariances from the analytic GLM Fisher information.  The returned
+    ModelInfo's coordinates are ``v`` with ``u = L v`` (+ the original
+    init as offset), where ``L`` is the (block) Cholesky factor: the
+    whitened posterior is near-isotropic, so a diagonal-metric
+    NUTS/HMC mixes at depth ~log2(residual condition number) instead of
+    being pinned by the stiffest eigendirection of a correlated block
+    (a DIAGONAL mass matrix cannot whiten within-block correlation, no
+    matter how well adapted).
+
+    Circular (wrapped) coordinates must not be block-preconditioned —
+    wrapping is only measure-preserving under a per-coordinate scaling.
+    """
+    import numpy as np_
+
+    mats = {}
+    for name, (shape, size, constraint) in info.site_meta.items():
+        if name in blocks:
+            if constraint.name == "circular":
+                raise ValueError(
+                    f"site {name!r} is circular; only diagonal "
+                    "preconditioning is valid for wrapped coordinates"
+                )
+            b = np_.asarray(jax.device_get(blocks[name]), np_.float64)
+            if b.ndim == 3 and b.shape[-1] == b.shape[-2]:
+                L = np_.linalg.cholesky(
+                    b + 1e-12 * np_.eye(b.shape[-1])
+                )
+                mats[name] = ("block", jnp.asarray(L, jnp.float32))
+            else:
+                mats[name] = (
+                    "diag", jnp.sqrt(jnp.asarray(b, jnp.float32)).reshape(-1)
+                )
+
+    def transform(v):
+        """whitened flat v -> original flat u (around the init point)."""
+        parts = []
+        i = 0
+        for name, (shape, size, _) in info.site_meta.items():
+            vs = v[i:i + size]
+            kind = mats.get(name)
+            if kind is None:
+                parts.append(vs)
+            elif kind[0] == "diag":
+                parts.append(kind[1] * vs)
+            else:
+                L = kind[1]
+                B, k = L.shape[0], L.shape[1]
+                parts.append(
+                    jnp.einsum("bij,bj->bi", L, vs.reshape(B, k)).reshape(-1)
+                )
+            i += size
+        return jnp.concatenate(parts) + info.init_u
+
+    # circular coords keep their (diagonal) scale for wrapping
+    scale_parts = []
+    circ_parts = []
+    for name, (shape, size, constraint) in info.site_meta.items():
+        kind = mats.get(name)
+        scale_parts.append(
+            kind[1] if kind is not None and kind[0] == "diag"
+            else jnp.ones((size,))
+        )
+        circ_parts.append(jnp.full((size,), constraint.name == "circular"))
+    scales = jnp.concatenate(scale_parts)
+    circ = jnp.concatenate(circ_parts)
+    init_off = info.init_u
+
+    def wrap_fn(v):
+        import math
+
+        u = scales * v + init_off
+        wrapped = jnp.mod(u + math.pi, 2.0 * math.pi) - math.pi
+        v_wrapped = (wrapped - init_off) / scales
+        return jnp.where(circ, v_wrapped, v)
+
+    has_circ = bool(jax.device_get(circ.any()))
+    return ModelInfo(
+        potential_fn=lambda v: info.potential_fn(transform(v)),
+        unflatten=lambda v: info.unflatten(transform(v)),
+        init_u=jnp.zeros_like(info.init_u),
+        site_meta=info.site_meta,
+        wrap_fn=wrap_fn if has_circ else None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # leapfrog + dual averaging
 # ---------------------------------------------------------------------------
 
-def _leapfrog(potential_grad, q, p, step_size, inv_mass, n_steps):
-    """``n_steps`` leapfrog steps under a diagonal mass matrix."""
+def _leapfrog(potential_vg, q, p, pot, grad, step_size, inv_mass, n_steps):
+    """``n_steps`` leapfrog steps under a diagonal mass matrix.
 
-    def body(_, qp):
-        q, p = qp
-        p = p - 0.5 * step_size * potential_grad(q)
-        q = q + step_size * inv_mass * p
-        p = p - 0.5 * step_size * potential_grad(q)
-        return (q, p)
+    Cached-gradient formulation: the gradient at the current position is
+    carried through the loop, so each step costs exactly ONE
+    `value_and_grad` evaluation (the classic 2-grads-plus-1-potential
+    version inlines the potential graph three times per step — tripling
+    both XLA compile time and runtime FLOPs; compile time is the dominant
+    cost of MCMC on this rig, see MCMC.run)."""
 
-    return jax.lax.fori_loop(0, n_steps, body, (q, p))
+    def body(_, state):
+        q, p, pot, grad = state
+        p_half = p - 0.5 * step_size * grad
+        q = q + step_size * inv_mass * p_half
+        pot, grad = potential_vg(q)
+        p = p_half - 0.5 * step_size * grad
+        return (q, p, pot, grad)
+
+    return jax.lax.fori_loop(0, n_steps, body, (q, p, pot, grad))
 
 
 class DAState(NamedTuple):
@@ -189,13 +303,24 @@ def _kinetic(p, inv_mass):
     return 0.5 * jnp.sum(p * p * inv_mass)
 
 
-def _hmc_step(potential_fn, q, key, step_size, inv_mass, num_leapfrog):
-    grad = jax.grad(potential_fn)
+def _hmc_step(potential_fn, q, key, step_size, inv_mass, num_leapfrog,
+              pot=None, grad=None):
+    """One HMC transition.  Pass ``pot``/``grad`` (the potential value and
+    gradient at ``q``, e.g. carried from the previous step) to avoid the
+    extra evaluation; returns them for the new state so callers can chain.
+
+    Returns (q, accept_prob, pot, grad).
+    """
+    vg = jax.value_and_grad(potential_fn)
+    if pot is None or grad is None:
+        pot, grad = vg(q)
     k_mom, k_acc = jax.random.split(key)
     p = jax.random.normal(k_mom, q.shape) / jnp.sqrt(inv_mass)
-    energy0 = potential_fn(q) + _kinetic(p, inv_mass)
-    q_new, p_new = _leapfrog(grad, q, p, step_size, inv_mass, num_leapfrog)
-    energy1 = potential_fn(q_new) + _kinetic(p_new, inv_mass)
+    energy0 = pot + _kinetic(p, inv_mass)
+    q_new, p_new, pot_new, grad_new = _leapfrog(
+        vg, q, p, pot, grad, step_size, inv_mass, num_leapfrog
+    )
+    energy1 = pot_new + _kinetic(p_new, inv_mass)
     delta = energy0 - energy1
     delta = jnp.where(
         jnp.isfinite(delta) & jnp.isfinite(jnp.sum(q_new)), delta, -jnp.inf
@@ -203,7 +328,9 @@ def _hmc_step(potential_fn, q, key, step_size, inv_mass, num_leapfrog):
     accept_prob = jnp.minimum(1.0, jnp.exp(delta))
     accept = jax.random.uniform(k_acc) < accept_prob
     q = jnp.where(accept, q_new, q)
-    return q, accept_prob
+    pot = jnp.where(accept, pot_new, pot)
+    grad = jnp.where(accept, grad_new, grad)
+    return q, accept_prob, pot, grad
 
 
 # ---------------------------------------------------------------------------
@@ -213,9 +340,13 @@ def _hmc_step(potential_fn, q, key, step_size, inv_mass, num_leapfrog):
 class _TreeState(NamedTuple):
     q_minus: jnp.ndarray
     p_minus: jnp.ndarray
-    q_plus: jnp.ndarray
-    p_plus: jnp.ndarray
+    g_minus: jnp.ndarray    # potential gradient at q_minus (carried so a
+    q_plus: jnp.ndarray     # subtree extension costs 1 value_and_grad per
+    p_plus: jnp.ndarray     # leapfrog, not 3 potential evaluations)
+    g_plus: jnp.ndarray
     q_prop: jnp.ndarray     # current proposal (multinomial over the tree)
+    pot_prop: jnp.ndarray   # potential value at q_prop
+    g_prop: jnp.ndarray     # potential gradient at q_prop
     log_weight: jnp.ndarray  # log sum exp of -energy over the tree
     sum_p: jnp.ndarray      # sum of momenta for the U-turn check
     turning: jnp.ndarray
@@ -240,7 +371,7 @@ def _trailing_zeros(i, nbits=16):
 
 
 def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
-               max_delta_energy=1000.0):
+               max_delta_energy=1000.0, pot0=None, grad0=None):
     """One NUTS transition: iterative multinomial NUTS (Hoffman & Gelman
     2014; multinomial state selection and generalized momentum-sum U-turn
     criterion per Betancourt 2017), with per-subtree U-turn checks done
@@ -258,19 +389,22 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
     start).  Criterion per span with momentum sum R: turning iff
     R.(M^-1 r_start) < 0 or R.(M^-1 r_end) < 0.
     """
-    grad = jax.grad(potential_fn)
+    vg = jax.value_and_grad(potential_fn)
+    if pot0 is None or grad0 is None:
+        pot0, grad0 = vg(q0)
     k_mom, k_prop = jax.random.split(key)
     p0 = jax.random.normal(k_mom, q0.shape) / jnp.sqrt(inv_mass)
-    energy0 = potential_fn(q0) + _kinetic(p0, inv_mass)
+    energy0 = pot0 + _kinetic(p0, inv_mass)
     dim = q0.shape[0]
     n_slots = max_depth + 1
 
-    def leapfrog1(q, p, direction):
+    def leapfrog1(q, p, g, direction):
         eps = step_size * direction
-        p = p - 0.5 * eps * grad(q)
-        q = q + eps * inv_mass * p
-        p = p - 0.5 * eps * grad(q)
-        return q, p
+        p_half = p - 0.5 * eps * g
+        q = q + eps * inv_mass * p_half
+        pot, g = vg(q)
+        p = p_half - 0.5 * eps * g
+        return q, p, pot, g
 
     def span_turning(R, r_a, r_b):
         return (jnp.dot(R, inv_mass * r_a) < 0) | (
@@ -285,12 +419,13 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
 
         q_start = jnp.where(direction > 0, state.q_plus, state.q_minus)
         p_start = jnp.where(direction > 0, state.p_plus, state.p_minus)
+        g_start = jnp.where(direction > 0, state.g_plus, state.g_minus)
 
         def sub_body(i, sub):
-            (q, p, log_w, q_prop, S, ckpt_r, ckpt_S, turning, diverging,
-             sum_acc, key) = sub
-            q, p = leapfrog1(q, p, direction)
-            energy = potential_fn(q) + _kinetic(p, inv_mass)
+            (q, p, pot, g, log_w, q_prop, pot_prop, g_prop, S, ckpt_r,
+             ckpt_S, turning, diverging, sum_acc, key) = sub
+            q, p, pot, g = leapfrog1(q, p, g, direction)
+            energy = pot + _kinetic(p, inv_mass)
             delta = energy - energy0
             diverging = diverging | (delta > max_delta_energy) | (
                 ~jnp.isfinite(delta)
@@ -303,7 +438,10 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
             key, k_i = jax.random.split(key)
             log_w_tot = jnp.logaddexp(log_w, log_w_i)
             take = jnp.log(jax.random.uniform(k_i)) < (log_w_i - log_w_tot)
-            q_prop = jnp.where(take & ~diverging, q, q_prop)
+            keep_new = take & ~diverging
+            q_prop = jnp.where(keep_new, q, q_prop)
+            pot_prop = jnp.where(keep_new, pot, pot_prop)
+            g_prop = jnp.where(keep_new, g, g_prop)
             log_w = log_w_tot
 
             # checkpoint push at even leaves (prefix sum BEFORE this leaf)
@@ -337,24 +475,27 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
                 0, n_slots, check_slot, jnp.asarray(False)
             )
             turning = turning | (is_odd & turning_new)
-            return (q, p, log_w, q_prop, S, ckpt_r, ckpt_S, turning,
-                    diverging, sum_acc, key)
+            return (q, p, pot, g, log_w, q_prop, pot_prop, g_prop, S,
+                    ckpt_r, ckpt_S, turning, diverging, sum_acc, key)
 
+        pot_start = jnp.zeros(())  # placeholder; first leaf overwrites prop
         sub0 = (
-            q_start, p_start, -jnp.inf, q_start, jnp.zeros((dim,)),
+            q_start, p_start, pot_start, g_start, -jnp.inf,
+            q_start, pot_start, g_start, jnp.zeros((dim,)),
             jnp.zeros((n_slots, dim)), jnp.zeros((n_slots, dim)),
             jnp.asarray(False), state.diverging, jnp.zeros(()), k_sub,
         )
-        (q_end, p_end, log_w_new, q_prop_new, S_new, _, _, sub_turning,
-         diverging, sum_acc_new, _) = jax.lax.fori_loop(
-            0, n_new, sub_body, sub0
-        )
+        (q_end, p_end, _, g_end, log_w_new, q_prop_new, pot_prop_new,
+         g_prop_new, S_new, _, _, sub_turning, diverging, sum_acc_new,
+         _) = jax.lax.fori_loop(0, n_new, sub_body, sub0)
 
         # update trajectory ends
         q_minus = jnp.where(direction > 0, state.q_minus, q_end)
         p_minus = jnp.where(direction > 0, state.p_minus, p_end)
+        g_minus = jnp.where(direction > 0, state.g_minus, g_end)
         q_plus = jnp.where(direction > 0, q_end, state.q_plus)
         p_plus = jnp.where(direction > 0, p_end, state.p_plus)
+        g_plus = jnp.where(direction > 0, g_end, state.g_plus)
 
         # biased-progressive multinomial merge: accept the new subtree's
         # proposal with prob min(1, w_new / w_old)
@@ -363,7 +504,10 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
             jnp.log(jax.random.uniform(k_sel))
             < (log_w_new - state.log_weight)
         )
-        q_prop = jnp.where(take_new & ~diverging, q_prop_new, state.q_prop)
+        keep_new = take_new & ~diverging
+        q_prop = jnp.where(keep_new, q_prop_new, state.q_prop)
+        pot_prop = jnp.where(keep_new, pot_prop_new, state.pot_prop)
+        g_prop = jnp.where(keep_new, g_prop_new, state.g_prop)
         if _DEBUG:
             jax.debug.print(
                 "depth={d} lwnew={w:.3f} take={t} subturn={st} q_end0={q:.3f}",
@@ -380,9 +524,11 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
                             fb=state.turning | state.diverging)
 
         new_state = _TreeState(
-            q_minus, p_minus, q_plus, p_plus,
+            q_minus, p_minus, g_minus, q_plus, p_plus, g_plus,
             # a turning/diverging subtree's proposal is rejected
             jnp.where(invalid, state.q_prop, q_prop),
+            jnp.where(invalid, state.pot_prop, pot_prop),
+            jnp.where(invalid, state.g_prop, g_prop),
             jnp.where(invalid, state.log_weight, log_w_tot),
             sum_p,
             state.turning | invalid,
@@ -400,7 +546,7 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
         return (frozen, key), None
 
     init = _TreeState(
-        q0, p0, q0, p0, q0,
+        q0, p0, grad0, q0, p0, grad0, q0, pot0, grad0,
         jnp.zeros(()),            # root log weight: exp(-(E0-E0)) = 1
         p0, jnp.asarray(False), jnp.asarray(False), jnp.zeros(()),
         jnp.ones(()),
@@ -409,7 +555,7 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
         extend, (init, k_prop), jnp.arange(max_depth)
     )
     accept_prob = final.sum_accept / jnp.maximum(final.n_steps - 1.0, 1.0)
-    return final.q_prop, accept_prob
+    return final.q_prop, accept_prob, final.pot_prop, final.g_prop
 
 
 # ---------------------------------------------------------------------------
@@ -417,102 +563,163 @@ def _nuts_step(potential_fn, q0, key, step_size, inv_mass, max_depth=8,
 # ---------------------------------------------------------------------------
 
 def _warmup_and_sample(step_fn, potential_fn, q0, key, num_warmup,
-                       num_samples, step_size, adapt_mass, wrap_fn=None):
+                       num_samples, step_size, adapt_mass, wrap_fn=None,
+                       inv_mass0=None, q_safe=None):
     """Generic driver: dual-averaging warmup (with a crude diagonal mass
-    estimate from the second half of warmup), then sampling.  Entirely
-    `lax.scan`; returns (samples (num_samples, dim), accept_probs)."""
+    estimate from the second half of warmup), then sampling.
+
+    The three Stan-style warmup windows — (1) step-size only, (2) step size
+    + variance collection, (3) re-adapt the step size under the NEW mass —
+    and the sampling phase all run inside ONE `lax.scan` whose body is the
+    only copy of the transition kernel in the program; window transitions
+    are data (step-index comparisons), not separate scans.  XLA compile
+    time on this model family is dominated by copies of the potential
+    graph, so 4 scans -> 1 cuts cold-start ~4x; the dropped warmup draws
+    are sliced off on the host side.
+
+    ``step_fn(q, key, eps, inv_mass, pot, grad)`` must return
+    ``(q', accept_prob, pot', grad')`` (cached-gradient chaining: exactly
+    one value_and_grad per leapfrog across the whole chain).
+
+    Returns (samples (num_samples, dim), accept_probs, final_step,
+    inv_mass).
+    """
     dim = q0.shape[0]
-    inv_mass0 = jnp.ones((dim,))
+    if inv_mass0 is None:
+        inv_mass0 = jnp.ones((dim,))
+    # the initial metric (e.g. a variational preconditioner: per-coordinate
+    # posterior variances from a converged guide) matters enormously for
+    # anisotropic posteriors — with a unit metric the stiffest coordinate
+    # pins the step size and window-2 variance collection never sees the
+    # soft directions equilibrate, so adaptation cannot bootstrap itself
 
     if wrap_fn is None:
         wrap_fn = lambda q: q
 
-    def warm_body(carry, key):
-        q, da, inv_mass, w_mean, w_m2, count = carry
-        q_new, accept_prob = step_fn(q, key, jnp.exp(da.log_step), inv_mass)
-        # reject non-finite states outright: NaN must never become an
-        # absorbing state of the chain
-        q = jnp.where(jnp.isfinite(q_new).all(), q_new, q)
-        q = wrap_fn(q)
-        da = _da_update(da, accept_prob)
-        # Welford accumulation for the mass matrix
-        count = count + 1
-        delta = q - w_mean
-        w_mean = w_mean + delta / count
-        w_m2 = w_m2 + delta * (q - w_mean)
-        return (q, da, inv_mass, w_mean, w_m2, count), accept_prob
-
-    da0 = _da_init(step_size)
-    # three warmup windows (Stan-style): (1) step-size only, (2) step size
-    # + variance collection, (3) re-adapt the step size under the NEW mass
-    # (switching the metric invalidates the old step size)
+    # window boundaries (static Python ints)
     n1 = max(num_warmup * 2 // 5, 1)
     n2 = max(num_warmup * 2 // 5, 1)
     n3 = max(num_warmup - n1 - n2, 1)
-    keys_w = jax.random.split(key, n1 + n2 + n3 + num_samples)
+    warm_end = n1 + n2 + n3
+    total = warm_end + num_samples
 
-    carry = (q0, da0, inv_mass0, jnp.zeros((dim,)), jnp.zeros((dim,)),
-             jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry, keys_w[:n1])
-    q, da, inv_mass, _, _, _ = carry
+    pot0, grad0 = jax.value_and_grad(potential_fn)(q0)
+    if q_safe is None:
+        q_safe, pot_safe, grad_safe = q0, pot0, grad0
+    else:
+        pot_safe, grad_safe = jax.value_and_grad(potential_fn)(q_safe)
 
-    carry = (q, da, inv_mass, jnp.zeros((dim,)), jnp.zeros((dim,)),
-             jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry, keys_w[n1:n1 + n2])
-    q, da, inv_mass, w_mean, w_m2, count = carry
-    if adapt_mass:
+    def body(carry, xs):
+        key, i = xs
+        q, pot, grad, da, inv_mass, w_mean, w_m2, count = carry
+
+        # -- window-2 -> window-3 boundary: switch the metric, reset DA ----
+        at_mass_switch = (i == n1 + n2) & adapt_mass
         var = w_m2 / jnp.maximum(count - 1.0, 1.0)
         # Stan-style shrinkage toward a small diagonal: protects against a
         # slow warmup chain collapsing the metric (tiny variance -> tiny
         # mass -> frozen sampling)
         var = (count / (count + 5.0)) * var + 1e-3 * (5.0 / (count + 5.0))
-        inv_mass = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
+        var = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
+        inv_mass = jnp.where(at_mass_switch, var, inv_mass)
+        da = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(at_mass_switch, new, old),
+            _da_init(jnp.exp(da.log_step_avg)), da,
+        )
 
-    carry = (q, _da_init(jnp.exp(da.log_step_avg)), inv_mass,
-             jnp.zeros((dim,)), jnp.zeros((dim,)), jnp.zeros(()))
-    carry, _ = jax.lax.scan(warm_body, carry, keys_w[n1 + n2:n1 + n2 + n3])
-    q, da, inv_mass, _, _, _ = carry
-    final_step = jnp.exp(da.log_step_avg)
+        # -- warmup rescue: a chain whose init fell off a numerical cliff
+        # (e.g. a dispersion coordinate in its overflow region) rejects
+        # every proposal, and dual averaging drives its step size to the
+        # floor — the chain is dead at any eps.  At window boundaries,
+        # restart such chains from the known-good init point with fresh DA
+        # state and metric.  Warmup draws are discarded, so this is free
+        # of detailed-balance concerns.  (Runs AFTER the metric switch so
+        # a rescued chain is not handed the frozen chain's garbage
+        # variances or a clobbered DA state.)
+        at_boundary = (i == n1) | (i == n1 + n2)
+        stuck = at_boundary & (da.log_step < jnp.log(3e-5))
+        q = jnp.where(stuck, q_safe, q)
+        pot = jnp.where(stuck, pot_safe, pot)
+        grad = jnp.where(stuck, grad_safe, grad)
+        inv_mass = jnp.where(stuck, inv_mass0, inv_mass)
+        da = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(stuck, new, old),
+            _da_init(step_size), da,
+        )
 
-    def sample_body(q, key):
-        q_new, accept_prob = step_fn(q, key, final_step, inv_mass)
-        q = jnp.where(jnp.isfinite(q_new).all(), q_new, q)
+        in_warmup = i < warm_end
+        eps = jnp.where(in_warmup, jnp.exp(da.log_step),
+                        jnp.exp(da.log_step_avg))
+        q_new, accept_prob, pot_new, grad_new = step_fn(
+            q, key, eps, inv_mass, pot, grad
+        )
+        # reject non-finite states outright: NaN must never become an
+        # absorbing state of the chain
+        ok = jnp.isfinite(q_new).all()
+        q = jnp.where(ok, q_new, q)
+        pot = jnp.where(ok, pot_new, pot)
+        grad = jnp.where(ok, grad_new, grad)
+        # wrapping is a period shift on circular coords: the (periodic)
+        # potential and its gradient are unchanged, so pot/grad stay valid
         q = wrap_fn(q)
-        return q, (q, accept_prob)
 
-    _, (samples, accepts) = jax.lax.scan(
-        sample_body, q, keys_w[n1 + n2 + n3:]
+        da_next = _da_update(da, accept_prob)
+        da = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(in_warmup, new, old), da_next, da,
+        )
+
+        # Welford accumulation for the mass matrix, window 2 only
+        collect = (i >= n1) & (i < n1 + n2)
+        count = count + jnp.where(collect, 1.0, 0.0)
+        safe_count = jnp.maximum(count, 1.0)
+        delta = q - w_mean
+        w_mean = w_mean + jnp.where(collect, delta / safe_count, 0.0)
+        w_m2 = w_m2 + jnp.where(collect, delta * (q - w_mean), 0.0)
+
+        return (q, pot, grad, da, inv_mass, w_mean, w_m2, count), (
+            q, accept_prob,
+        )
+
+    keys = jax.random.split(key, total)
+    carry = (q0, pot0, grad0, _da_init(step_size), inv_mass0,
+             jnp.zeros((dim,)), jnp.zeros((dim,)), jnp.zeros(()))
+    carry, (qs, accepts) = jax.lax.scan(
+        body, carry, (keys, jnp.arange(total))
     )
-    return samples, accepts, final_step, inv_mass
+    _, _, _, da, inv_mass, _, _, _ = carry
+    final_step = jnp.exp(da.log_step_avg)
+    return qs[warm_end:], accepts[warm_end:], final_step, inv_mass
 
 
 def hmc(model_info: ModelInfo, key, num_warmup=500, num_samples=500,
-        step_size=0.1, num_leapfrog=16, adapt_mass=True):
+        step_size=0.1, num_leapfrog=16, adapt_mass=True, inv_mass0=None,
+        q_safe=None):
     """Single-chain HMC on a `ModelInfo`.  vmap for chains."""
 
-    def step_fn(q, k, eps, inv_mass):
+    def step_fn(q, k, eps, inv_mass, pot, grad):
         return _hmc_step(model_info.potential_fn, q, k, eps, inv_mass,
-                         num_leapfrog)
+                         num_leapfrog, pot, grad)
 
     return _warmup_and_sample(
         step_fn, model_info.potential_fn, model_info.init_u, key,
         num_warmup, num_samples, step_size, adapt_mass,
-        model_info.wrap_fn,
+        model_info.wrap_fn, inv_mass0, q_safe,
     )
 
 
 def nuts(model_info: ModelInfo, key, num_warmup=500, num_samples=500,
-         step_size=0.1, max_depth=8, adapt_mass=True):
+         step_size=0.1, max_depth=8, adapt_mass=True, inv_mass0=None,
+         q_safe=None):
     """Single-chain NUTS on a `ModelInfo`.  vmap for chains."""
 
-    def step_fn(q, k, eps, inv_mass):
+    def step_fn(q, k, eps, inv_mass, pot, grad):
         return _nuts_step(model_info.potential_fn, q, k, eps, inv_mass,
-                          max_depth)
+                          max_depth, pot0=pot, grad0=grad)
 
     return _warmup_and_sample(
         step_fn, model_info.potential_fn, model_info.init_u, key,
         num_warmup, num_samples, step_size, adapt_mass,
-        model_info.wrap_fn,
+        model_info.wrap_fn, inv_mass0, q_safe,
     )
 
 
@@ -538,8 +745,29 @@ class MCMC:
     def __init__(self, model, kernel="nuts", num_warmup=500,
                  num_samples=500, num_chains=1, step_size=0.1,
                  num_leapfrog=16, max_depth=8, adapt_mass=True,
-                 init_jitter=1.0):
+                 init_jitter=1.0, init_values=None, inv_mass=None,
+                 preconditioner=None):
+        """``init_values``: {site: constrained value} warm start (e.g. SVI
+        guide locs) — see `init_model`.  Pair it with a small
+        ``init_jitter`` (the jitter is in unconstrained space).
+
+        ``inv_mass``: {site: per-coordinate variance in UNCONSTRAINED
+        space} — the initial diagonal metric (variational preconditioning:
+        a converged guide's scales, mapped through the bijector Jacobian).
+        Sites not in the dict get 1.0.  With ``adapt_mass=True`` window-2
+        adaptation refines it from real samples.
+
+        ``preconditioner``: {site: covariance} linear whitening — per-site
+        variance vectors or per-block (B, k, k) SPD covariances (e.g. the
+        analytic GLM Fisher information inverse for harmonic-coefficient
+        blocks) — see `block_precondition`.  Unlike ``inv_mass`` this
+        removes WITHIN-block correlation, which no diagonal metric can.
+        ``init_jitter`` then acts in whitened coordinates, i.e. in units
+        of approximate posterior sds."""
         self.model = model
+        self.init_values = init_values
+        self.inv_mass = inv_mass
+        self.preconditioner = preconditioner
         self.kernel = kernel
         self.num_warmup = num_warmup
         self.num_samples = num_samples
@@ -552,6 +780,8 @@ class MCMC:
         self._samples = None
         self._accepts = None
         self.model_info = None
+        self._compiled = None
+        self._compiled_args = None
 
     def run(self, key, *args, mesh=None, chain_axis="chains", **kwargs):
         """Run the chains.  With ``mesh=`` (a `jax.sharding.Mesh` carrying
@@ -560,26 +790,70 @@ class MCMC:
         device, zero cross-chain communication (chains are independent).
         Combine with cell-sharded model data for a 2-axis (cells, chains)
         mesh: the potential's cell reductions lower to psum over the cells
-        axis while chains stay parallel."""
-        k_init, k_run = jax.random.split(key)
-        info = init_model(self.model, *args, key=k_init, **kwargs)
-        self.model_info = info
+        axis while chains stay parallel.
 
-        def one_chain(chain_key):
-            kj, ks = jax.random.split(chain_key)
-            q0 = info.init_u + self.init_jitter * jax.random.normal(
-                kj, info.init_u.shape
-            )
-            chain_info = info._replace(init_u=q0)
-            if self.kernel == "nuts":
-                return nuts(
+        Repeated ``run`` calls with the SAME ``*args``/``**kwargs`` objects
+        reuse the compiled sampler (cold-start on this model family is
+        XLA-compile-dominated; re-jitting per run would pay it every
+        time).  Passing different argument objects rebuilds the program.
+        """
+        k_init, k_run = jax.random.split(key)
+        flat_args = jax.tree_util.tree_leaves(
+            (args, kwargs, self.init_values, self.inv_mass,
+             self.preconditioner)
+        )
+        reusable = (
+            self._compiled is not None
+            and self._compiled_args is not None
+            and len(flat_args) == len(self._compiled_args)
+            and all(a is b for a, b in zip(flat_args, self._compiled_args))
+        )
+        if not reusable:
+            info = init_model(self.model, *args, key=k_init,
+                              init_values=self.init_values, **kwargs)
+            if self.preconditioner is not None:
+                info = block_precondition(info, self.preconditioner)
+            self.model_info = info
+
+            inv_mass0 = None
+            if self.inv_mass is not None:
+                parts = []
+                for name, (shape, size, _) in info.site_meta.items():
+                    v = self.inv_mass.get(name)
+                    parts.append(
+                        jnp.ones((size,)) if v is None
+                        else jnp.asarray(v, jnp.float32).reshape(-1)
+                    )
+                inv_mass0 = jnp.concatenate(parts)
+                # jitter scaled by the preconditioner: over-dispersed
+                # starts relative to the (approximate) posterior, not an
+                # isotropic ball that may be 1000 sds wide on stiff coords
+                jitter_scale = jnp.sqrt(inv_mass0)
+            else:
+                jitter_scale = 1.0
+
+            def one_chain(chain_key):
+                kj, ks = jax.random.split(chain_key)
+                q0 = info.init_u + (
+                    self.init_jitter * jitter_scale * jax.random.normal(
+                        kj, info.init_u.shape
+                    )
+                )
+                chain_info = info._replace(init_u=q0)
+                if self.kernel == "nuts":
+                    return nuts(
+                        chain_info, ks, self.num_warmup, self.num_samples,
+                        self.step_size, self.max_depth, self.adapt_mass,
+                        inv_mass0, q_safe=info.init_u,
+                    )[:2]
+                return hmc(
                     chain_info, ks, self.num_warmup, self.num_samples,
-                    self.step_size, self.max_depth, self.adapt_mass,
+                    self.step_size, self.num_leapfrog, self.adapt_mass,
+                    inv_mass0, q_safe=info.init_u,
                 )[:2]
-            return hmc(
-                chain_info, ks, self.num_warmup, self.num_samples,
-                self.step_size, self.num_leapfrog, self.adapt_mass,
-            )[:2]
+
+            self._compiled = jax.jit(jax.vmap(one_chain))
+            self._compiled_args = flat_args
 
         chain_keys = jax.random.split(k_run, self.num_chains)
         if mesh is not None:
@@ -588,7 +862,7 @@ class MCMC:
             chain_keys = jax.device_put(
                 chain_keys, NamedSharding(mesh, P(chain_axis))
             )
-        samples_u, accepts = jax.jit(jax.vmap(one_chain))(chain_keys)
+        samples_u, accepts = self._compiled(chain_keys)
         self._samples_u = samples_u      # (chains, samples, dim)
         self._accepts = accepts
         return self
@@ -615,9 +889,11 @@ class MCMC:
             flat = arr.reshape(c * n, -1)
             mean = flat.mean(0)
             sd = flat.std(0)
+            x = arr.reshape(c, n, -1)
             # split-Rhat over chains
-            rhat = _split_rhat(arr.reshape(c, n, -1))
-            out[name] = {"mean": mean, "sd": sd, "rhat": rhat}
+            rhat = _split_rhat(x)
+            ess = effective_sample_size(x)
+            out[name] = {"mean": mean, "sd": sd, "rhat": rhat, "ess": ess}
         return out
 
 
@@ -633,3 +909,59 @@ def _split_rhat(x):
     B = hn * chain_means.var(0, ddof=1)
     var_est = (hn - 1) / hn * W + B / hn
     return np.sqrt(var_est / np.maximum(W, 1e-12))
+
+
+def _autocov_fft(x):
+    """Per-chain autocovariance via FFT; x: (chains, samples, dim) ->
+    (chains, samples, dim), biased (normalized by n, the convention the
+    split-ESS estimator below expects)."""
+    c, n, d = x.shape
+    xc = x - x.mean(1, keepdims=True)
+    m = 1 << (2 * n - 1).bit_length()          # zero-pad to avoid wraparound
+    f = np.fft.rfft(xc, n=m, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=m, axis=1)[:, :n, :]
+    return acov / n
+
+
+def effective_sample_size(x):
+    """Split-chain bulk ESS per scalar parameter (Vehtari et al. 2021 /
+    Stan's estimator: multi-chain autocorrelation from within/between-chain
+    variances, Geyer initial-monotone-positive-sequence truncation).
+
+    x: (chains, samples, dim) numpy array -> (dim,) ESS estimates.
+    """
+    x = np.asarray(x, np.float64)
+    c, n, d = x.shape
+    half = n // 2
+    if half < 2:
+        return np.full((d,), np.nan)
+    x = np.concatenate([x[:, :half, :], x[:, half:2 * half, :]], 0)
+    m, n = 2 * c, half
+
+    acov = _autocov_fft(x)                      # (m, n, d)
+    chain_var = acov[:, 0, :] * n / (n - 1.0)   # unbiased per-chain var
+    W = chain_var.mean(0)
+    mean_acov = acov.mean(0)                    # (n, d)
+    if m > 1:
+        B_over_n = x.mean(1).var(0, ddof=1)
+        var_plus = W * (n - 1.0) / n + B_over_n
+    else:
+        var_plus = W * (n - 1.0) / n
+    var_plus = np.maximum(var_plus, 1e-300)
+
+    rho = 1.0 - (W[None, :] - mean_acov) / var_plus[None, :]   # (n, d)
+    rho[0] = 1.0
+    # Geyer pairs P_k = rho_{2k} + rho_{2k+1}; truncate at first negative
+    # pair, then enforce monotone non-increase
+    n_pairs = n // 2
+    pairs = rho[0:2 * n_pairs:2] + rho[1:2 * n_pairs:2]        # (n_pairs, d)
+    pos = pairs > 0
+    first_neg = np.where(
+        pos.all(0), n_pairs, np.argmin(pos, axis=0)
+    )
+    keep = np.arange(n_pairs)[:, None] < first_neg[None, :]
+    pairs = np.where(keep, pairs, 0.0)
+    pairs = np.minimum.accumulate(pairs + 1e300 * (~keep), axis=0)
+    pairs = np.where(keep, pairs, 0.0)
+    tau = np.maximum(-1.0 + 2.0 * pairs.sum(0), 1.0 / (m * n))
+    return np.minimum(m * n / tau, m * n * np.log10(max(m * n, 10.0)))

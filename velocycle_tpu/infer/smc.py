@@ -233,14 +233,20 @@ class SMC:
             )
 
             def move(u, k):
-                def one(u, kk):
-                    u, _ = _hmc_step(
+                # carry (pot, grad) across the moves: one value_and_grad
+                # per leapfrog for the whole rejuvenation sweep
+                potv, g = jax.value_and_grad(pot)(u)
+
+                def one(carry, kk):
+                    u, potv, g = carry
+                    u, _, potv, g = _hmc_step(
                         pot, u, kk, self.hmc_step_size, inv_mass,
-                        self.hmc_leapfrog,
+                        self.hmc_leapfrog, potv, g,
                     )
-                    return u, None
-                u, _ = jax.lax.scan(
-                    one, u, jax.random.split(k, self.num_moves)
+                    return (u, potv, g), None
+
+                (u, _, _), _ = jax.lax.scan(
+                    one, (u, potv, g), jax.random.split(k, self.num_moves)
                 )
                 return u
 
