@@ -29,6 +29,9 @@ from velocycle_tpu.infer.minibatch import LOCAL_SITES
 from velocycle_tpu.ops.circular import circular_corrcoef
 from velocycle_tpu.simulate import simulate_data
 
+
+pytestmark = pytest.mark.slow  # heavy fits/samplers: fast lane skips this module
+
 NC, NG, NBLK = 120, 40, 4
 
 
@@ -190,3 +193,127 @@ def test_streamed_fit_matches_on_device(phase_mp):
             np.asarray(p), np.asarray(mb2.get_params(s2)[name]),
             rtol=1e-6, err_msg=name,
         )
+
+
+def test_per_row_adam_visit_counts(phase_mp):
+    """ADVICE r2: masked rows must be bias-corrected with their OWN visit
+    count, not the global step count.  With 4 blocks and shuffle=False,
+    each phixy row is visited once per epoch while global params step
+    NBLK times per epoch."""
+    mp = phase_mp
+    mb = MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=NBLK)
+    state, _ = mb.fit(jax.random.PRNGKey(5), mp.data, num_epochs=3,
+                      shuffle=False)
+    counts = jax.device_get(state.counts)
+    assert int(state.step) == 3 * NBLK
+    np.testing.assert_array_equal(np.asarray(counts["phixy_locs"]), 3)
+    assert int(counts["nu_locs"]) == 3 * NBLK
+
+
+def test_first_visit_bias_correction_matches_fresh_adam(phase_mp):
+    """A row first visited at global step 2 must take the fresh-Adam c=1
+    step — mu_hat = clip(g), nu_hat = clip(g)^2, lr undecayed — not the
+    c=2-bias-corrected step the old global counter produced."""
+    mp = phase_mp
+    blocks2 = split_cells(mp.data, 2)
+    key = jax.random.PRNGKey(6)
+
+    mb = MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=2, lrd=0.9)
+    s = mb.init(key, mp.data)
+    s, _ = mb.update_block(s, jnp.asarray(0, jnp.int32), blocks2[0])
+    # snapshot before step 2 (update_block donates its state argument)
+    params_pre = jax.tree_util.tree_map(jnp.array, s.params)
+    step_key = jax.random.split(jnp.array(s.key))[1]
+    s, _ = mb.update_block(s, jnp.asarray(1, jnp.int32), blocks2[1])
+
+    g = jax.grad(mb._block_loss)(
+        params_pre, step_key, jnp.asarray(1, jnp.int32), blocks2[1]
+    )["phixy_locs"]
+    B = mp.data.Nc // 2
+    g = np.clip(np.asarray(g)[B:], -mb.clip_norm, mb.clip_norm)
+    # fresh Adam, c=1: upd = -lr * g / (|g| + eps); no lrd decay yet
+    expect = np.asarray(params_pre["phixy_locs"])[B:] - (
+        mb.lr * g / (np.abs(g) + mb.eps)
+    )
+    rows = np.asarray(s.params["phixy_locs"])[B:]
+    np.testing.assert_allclose(rows, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_shuffle_reproducible_and_key_dependent(phase_mp):
+    mp = phase_mp
+    mk = lambda: MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=NBLK)
+    _, l1 = mk().fit(jax.random.PRNGKey(7), mp.data, num_epochs=2)
+    _, l2 = mk().fit(jax.random.PRNGKey(7), mp.data, num_epochs=2)
+    _, l3 = mk().fit(jax.random.PRNGKey(8), mp.data, num_epochs=2)
+    np.testing.assert_array_equal(l1, l2)  # same key => same block order
+    assert not np.array_equal(l1, l3)      # different key => different run
+
+
+def test_warns_on_nonlocal_cell_site(phase_mp):
+    """The unbiasedness guard: dropping phi_xy from local_sites must warn
+    that the blockwise objective is biased."""
+    mp = phase_mp
+    mb = MinibatchSVI(
+        mp.model_fn, mp.guide_fn, num_blocks=NBLK,
+        local_sites=LOCAL_SITES - {"phi_xy"},
+    )
+    with pytest.warns(UserWarning, match="phi_xy"):
+        mb.init(jax.random.PRNGKey(0), mp.data)
+
+
+def test_init_template_streamed_matches_full_init(phase_mp):
+    """`init_template` (host placeholders, zero HBM for the count matrix)
+    must produce the identical streamed fit as initializing from the full
+    device container."""
+    from velocycle_tpu.infer import init_template
+
+    mp = phase_mp
+    key = jax.random.PRNGKey(9)
+    S = np.asarray(mp.data.S)
+    cf = np.asarray(mp.data.count_factor)
+    pp = np.asarray(mp.data.phixy_prior)
+    logS = np.asarray(mp.data.logS)
+    Db = np.asarray(mp.data.Db)
+
+    def factory():
+        return iter_host_blocks(S, cf, pp, mp.data, NBLK, logS=logS, Db=Db)
+
+    mb1 = MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=NBLK)
+    s1, l1 = mb1.fit_streamed(key, mp.data, factory, num_epochs=2)
+
+    first_block = next(iter(factory()))[1]
+    tmpl = init_template(first_block, NC, pp, count_factor=cf, Db=Db)
+    mb2 = MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=NBLK)
+    s2, l2 = mb2.fit_streamed(key, tmpl, factory, num_epochs=2)
+
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    for name, p in mb1.get_params(s1).items():
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(mb2.get_params(s2)[name]),
+            rtol=1e-6, err_msg=name,
+        )
+
+
+def test_streamed_epoch_aware_factory_shuffles(phase_mp):
+    """A one-arg factory receives the epoch index so it can permute its
+    block order; visiting order must differ across epochs."""
+    mp = phase_mp
+    S = np.asarray(mp.data.S)
+    cf = np.asarray(mp.data.count_factor)
+    pp = np.asarray(mp.data.phixy_prior)
+    logS = np.asarray(mp.data.logS)
+    Db = np.asarray(mp.data.Db)
+    seen = []
+
+    def factory(epoch):
+        order = np.random.default_rng(epoch).permutation(NBLK)
+        blocks = list(iter_host_blocks(S, cf, pp, mp.data, NBLK,
+                                       logS=logS, Db=Db))
+        for i in order:
+            seen.append(int(i))
+            yield blocks[int(i)]
+
+    mb = MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=NBLK)
+    mb.fit_streamed(jax.random.PRNGKey(10), mp.data, factory, num_epochs=2)
+    assert len(seen) == 2 * NBLK
+    assert seen[:NBLK] != seen[NBLK:]  # different permutation per epoch

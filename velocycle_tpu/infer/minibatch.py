@@ -42,7 +42,8 @@ from ..core import handlers
 from .elbo import Trace_ELBO
 from .svi import init_params, constrain
 
-__all__ = ["MinibatchSVI", "split_cells", "iter_host_blocks"]
+__all__ = ["MinibatchSVI", "split_cells", "iter_host_blocks",
+           "init_template"]
 
 # model sites whose log-prob is a sum of per-cell terms: the data
 # likelihoods and the per-cell manifold-coordinate latent.  Everything else
@@ -175,18 +176,72 @@ def iter_host_blocks(S, count_factor, phixy_prior, template, num_blocks,
         yield i, dataclasses.replace(template, **fields)
 
 
-class MinibatchState:
-    """Pytree: (step, params, adam mu, adam nu, key)."""
+def init_template(template, Nc, phixy_prior, count_factor=None, Db=None,
+                  phi_prior=None, D=None):
+    """Build a full-``Nc`` container for `MinibatchSVI.init` WITHOUT the
+    count matrices ever entering HBM.
 
-    def __init__(self, step, params, mu, nu, key):
+    For a streamed fit, param init only needs (a) the gene-side priors and
+    static config — taken from ``template``, which can be a single host
+    block from `iter_host_blocks` — and (b) the full-length per-cell prior
+    fields, passed as host numpy arrays.  The S/logS (and U/logU) fields
+    are replaced by zero-strided numpy broadcasts: zero bytes allocated,
+    and the guide's init path never reads them.
+
+    Returns a PhaseData/VelocityData suitable as the ``data`` argument of
+    `MinibatchSVI.fit_streamed`.
+    """
+    Ng = template.Ng
+    zeros_gc = np.broadcast_to(np.float32(0.0), (Ng, Nc))
+    fields = dict(S=zeros_gc, Nc=Nc, phixy_prior=np.asarray(phixy_prior))
+    if getattr(template, "logS", None) is not None:
+        fields["logS"] = zeros_gc
+    if count_factor is not None:
+        fields["count_factor"] = np.asarray(count_factor)
+    else:
+        fields["count_factor"] = np.broadcast_to(np.float32(0.0), (Nc,))
+    if Db is not None:
+        fields["Db"] = np.asarray(Db)
+    elif getattr(template, "Db", None) is not None:
+        fields["Db"] = np.broadcast_to(
+            np.float32(1.0), (template.Db.shape[0], Nc)
+        )
+    if phi_prior is not None:
+        fields["phi_prior"] = np.asarray(phi_prior)
+    if hasattr(template, "U"):
+        fields["U"] = zeros_gc
+        if getattr(template, "logU", None) is not None:
+            fields["logU"] = zeros_gc
+        if D is not None:
+            fields["D"] = np.asarray(D)
+        elif getattr(template, "D", None) is not None:
+            fields["D"] = np.broadcast_to(
+                np.float32(1.0), (template.D.shape[0], Nc)
+            )
+    return dataclasses.replace(template, **fields)
+
+
+class MinibatchState:
+    """Pytree: (step, params, adam mu, adam nu, visit counts, key).
+
+    ``counts`` holds per-parameter Adam visit counters: scalar for global
+    params, per-row (full param shape) for cell-axis params, so bias
+    correction and lrd decay run on each row's OWN visit count — a masked
+    row visited for the first time at global step 8 must be bias-corrected
+    with c=1, not c=8 (exact block-coordinate Adam semantics).
+    """
+
+    def __init__(self, step, params, mu, nu, counts, key):
         self.step = step
         self.params = params
         self.mu = mu
         self.nu = nu
+        self.counts = counts
         self.key = key
 
     def tree_flatten(self):
-        return (self.step, self.params, self.mu, self.nu, self.key), None
+        return (self.step, self.params, self.mu, self.nu, self.counts,
+                self.key), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -242,13 +297,65 @@ class MinibatchSVI:
                 "across cell blocks (models/phase.py phase_model_lba)"
             )
         self.block_size = data.Nc // self.num_blocks
+        self._warn_nonlocal_cell_sites(data)
         key_init, key_state = jax.random.split(key)
         params, self.constraints = init_params(self.guide, key_init, data)
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        counts = {
+            name: jnp.zeros(
+                p.shape if name in self.cell_param_axes else (), jnp.int32
+            )
+            for name, p in params.items()
+        }
         return MinibatchState(
             jnp.zeros((), jnp.int32), params,
-            zeros, jax.tree_util.tree_map(jnp.zeros_like, params), key_state,
+            zeros, jax.tree_util.tree_map(jnp.zeros_like, params),
+            counts, key_state,
         )
+
+    def _warn_nonlocal_cell_sites(self, data):
+        """Guard the unbiasedness contract: any sample site whose log-prob
+        carries a cell axis but is NOT in ``local_sites`` would make the
+        scaled-block objective a biased full-ELBO estimate (its prior/
+        entropy terms get counted once per step instead of once per epoch).
+        Shape-only check via eval_shape — no FLOPs, runs once at init."""
+        import warnings
+
+        Nc = int(data.Nc)
+        if Nc <= 1:
+            return
+
+        def _lp_shapes(fn, d):
+            tr = handlers.trace(
+                handlers.seed(fn, jax.random.PRNGKey(0))
+            ).get_trace(d)
+            return {
+                n: s["fn"].log_prob(s["value"])
+                for n, s in tr.items() if s["type"] == "sample"
+            }
+
+        try:
+            m_sh, g_sh = jax.eval_shape(
+                lambda d: (_lp_shapes(self.model, d),
+                           _lp_shapes(self.guide, d)), data
+            )
+        except Exception:
+            return  # exotic models may not trace abstractly; skip the guard
+        suspects = sorted(
+            name
+            for shapes in (m_sh, g_sh)
+            for name, lp in shapes.items()
+            if name not in self.local_sites and Nc in lp.shape
+        )
+        if suspects:
+            warnings.warn(
+                f"MinibatchSVI: sample site(s) {suspects} have a "
+                f"cell-sized (Nc={Nc}) log-prob axis but are not in "
+                "local_sites — the blockwise objective will be a BIASED "
+                "full-ELBO estimate.  Pass local_sites={...} including "
+                "them if they are per-cell sites.",
+                stacklevel=3,
+            )
 
     # -- one block step -----------------------------------------------------
     def _slice_cell_params(self, params, block_idx):
@@ -281,11 +388,17 @@ class MinibatchSVI:
         return self.loss.loss(key, model, guide, block_data)
 
     def _adam(self, g, mu, nu, count):
+        """One ClippedAdam step.  ``count`` is this parameter's visit
+        counter AFTER the current visit — scalar for global params,
+        elementwise (per cell row) for masked params, so bias correction
+        and lrd decay see each row's own visit number."""
         b1, b2 = self.betas
         g = jnp.clip(g, -self.clip_norm, self.clip_norm)
         mu_n = b1 * mu + (1.0 - b1) * g
         nu_n = b2 * nu + (1.0 - b2) * g * g
-        c = count.astype(jnp.float32)
+        # rows outside the block carry count=0 pre-first-visit; clamp so
+        # the (masked-out) lanes divide by (1-b^1), not by zero
+        c = jnp.maximum(count.astype(jnp.float32), 1.0)
         mu_hat = mu_n / (1.0 - b1 ** c)
         nu_hat = nu_n / (1.0 - b2 ** c)
         lr_t = self.lr * self.lrd ** (c - 1.0)
@@ -306,21 +419,27 @@ class MinibatchSVI:
             state.params, sub, block_idx, block_data
         )
         count = state.step + 1
-        params, mus, nus = {}, {}, {}
+        params, mus, nus, counts = {}, {}, {}, {}
         for name, p in state.params.items():
             g, mu, nu = grads[name], state.mu[name], state.nu[name]
-            upd, mu_n, nu_n = self._adam(g, mu, nu, count)
             ax = self.cell_param_axes.get(name)
             if ax is not None:
                 # block-coordinate semantics: rows outside the block keep
-                # their moments and receive no update
+                # their moments/counters and receive no update; visited
+                # rows are bias-corrected with their OWN visit number
                 m = self._row_mask(p.shape, ax, block_idx)
+                cnt_n = state.counts[name] + m.astype(jnp.int32)
+                upd, mu_n, nu_n = self._adam(g, mu, nu, cnt_n)
                 upd = jnp.where(m, upd, 0.0)
                 mu_n = jnp.where(m, mu_n, mu)
                 nu_n = jnp.where(m, nu_n, nu)
+            else:
+                cnt_n = state.counts[name] + 1
+                upd, mu_n, nu_n = self._adam(g, mu, nu, cnt_n)
             params[name] = p + upd
             mus[name], nus[name] = mu_n, nu_n
-        return MinibatchState(count, params, mus, nus, key), loss
+            counts[name] = cnt_n
+        return MinibatchState(count, params, mus, nus, counts, key), loss
 
     # -- drivers ------------------------------------------------------------
     def get_params(self, state):
@@ -328,10 +447,15 @@ class MinibatchSVI:
 
     def fit(self, key, data, num_epochs, shuffle=True, callback=None):
         """On-device minibatch fit: pre-split blocks once, then loop.
-        Returns (state, losses ndarray of shape (num_epochs*num_blocks,))."""
+        Returns (state, losses ndarray of shape (num_epochs*num_blocks,)).
+        The block visit order is derived from ``key`` (fold_in), so
+        different keys give different shuffles."""
         state = self.init(key, data)
         blocks = split_cells(data, self.num_blocks)
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(int(jax.device_get(
+            jax.random.randint(jax.random.fold_in(key, 0x5b),
+                               (), 0, np.iinfo(np.int32).max)
+        )))
         losses = []
         for epoch in range(num_epochs):
             order = (
@@ -352,13 +476,28 @@ class MinibatchSVI:
         """Beyond-HBM fit: ``block_factory()`` yields host-side
         ``(block_idx, block_data)`` (see `iter_host_blocks`); only the
         in-flight and prefetched blocks occupy device memory.  ``data`` is
-        used for param init only and may itself be a single host-built
-        template block — pass ``init_data`` shaped with the FULL Nc so the
-        per-cell params cover every cell."""
+        used for param init only — build it with `init_template` so the
+        count matrices never land in HBM; it must be shaped with the FULL
+        Nc so the per-cell params cover every cell.
+
+        A factory taking one argument is called as ``block_factory(epoch)``
+        so it can permute (or re-chunk) its block order per epoch; a
+        zero-arg factory streams in its natural (e.g. sequential-disk)
+        order every epoch."""
+        import inspect
+
+        takes_epoch = False
+        try:
+            takes_epoch = len(
+                inspect.signature(block_factory).parameters
+            ) >= 1
+        except (TypeError, ValueError):
+            pass
         state = self.init(key, data)
         losses = []
         for epoch in range(num_epochs):
-            it = iter(block_factory())
+            it = iter(block_factory(epoch) if takes_epoch
+                      else block_factory())
             nxt = next(it, None)
             staged = (
                 None if nxt is None
