@@ -298,6 +298,43 @@ class scale(Messenger):
         msg["scale"] = msg.get("scale", 1.0) * self.scale_factor
 
 
+class enum(Messenger):
+    """Parallel enumeration of marked discrete sites (pyro
+    ``config_enumerate``/``TraceEnum_ELBO`` equivalent, the mechanism the
+    reference's LBA model relies on,
+    `/root/reference/velocycle/phase_inference_model.py:397,425`).
+
+    A sample site declared with ``infer={"enumerate": "parallel"}`` whose
+    value is not already fixed (replay/condition/substitute) gets its full
+    support stacked on a NEW leading axis instead of being sampled:
+    the j-th enumerated site (in trace order) takes shape
+    ``(K_j,) + (1,)*j + batch_shape`` so successive sites broadcast into a
+    joint ``(K_{n-1}, ..., K_0)`` prefix, right-aligned against the model's
+    ordinary batch dims.  `infer.TraceEnum_ELBO` then sums the discrete
+    variables out of the model log-joint exactly.
+    """
+
+    def __enter__(self):
+        super().__enter__()
+        self.count = 0
+        return self
+
+    def process_message(self, msg):
+        if (
+            msg["type"] != "sample"
+            or msg["is_observed"]
+            or msg["value"] is not None
+            or msg.get("infer", {}).get("enumerate") != "parallel"
+        ):
+            return
+        support = msg["fn"].enumerate_support()  # (K,) + batch_shape
+        K = support.shape[0]
+        batch = support.shape[1:]
+        msg["value"] = support.reshape((K,) + (1,) * self.count + batch)
+        msg["infer"]["_enumerated"] = True
+        self.count += 1
+
+
 class plate(Messenger):
     """Named batch dimension.  TPU-first design: plates are *declarative* —
     broadcasting does the real work (the reference's tensors are already

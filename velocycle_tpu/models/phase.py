@@ -38,6 +38,7 @@ __all__ = [
     "phase_guide",
     "phase_model_lba",
     "phase_guide_lba",
+    "phase_model_lba_enum",
 ]
 
 
@@ -229,6 +230,84 @@ def phase_model_lba(mp):
     deterministic(
         "periodic", jnp.exp(joint[1] - logsumexp(joint, axis=0))
     )
+
+
+def phase_model_lba_enum(mp):
+    """LBA phase model written with an EXPLICIT enumerated Bernoulli site —
+    the generic discrete-latent path, mirroring the reference's
+    `@config_enumerate` model line for line
+    (`phase_inference_model.py:397-456`: `periodic~Bernoulli` at `:425`,
+    `torch.where` mixing at `:436-438`).
+
+    Semantically identical to `phase_model_lba` (which marginalizes the
+    same mixture by hand); fit it with `infer.TraceEnum_ELBO`, which sums
+    the ``periodic`` indicator out exactly
+    (`tests/test_enum.py` proves ELBO and gradient equality).  Use this
+    form as the template for NEW discrete-latent models — no bespoke
+    mixture algebra needed.
+    """
+    with plate("genes", mp.Ng, dim=-2):
+        nu = sample("nu", dist.Normal(mp.mu_nu, mp.sd_nu).to_event(1))
+        delta_nu = None
+        if mp.with_delta_nu:
+            with plate("batches", mp.Nb, dim=-3):
+                delta_nu = sample(
+                    "delta_nu",
+                    dist.Normal(jnp.zeros((mp.Nb, mp.Ng)), mp.sd_dnu),
+                )
+        periodic_prob = sample(
+            "periodic_prob",
+            dist.Beta(
+                jnp.broadcast_to(mp.beta0, (mp.Ng,)),
+                jnp.broadcast_to(mp.beta1, (mp.Ng,)),
+            ),
+        )  # (Ng,)
+
+    phi = sample_phi(mp)
+    zeta = expression_basis(mp, phi, der=0)
+    deterministic("zeta", zeta)
+
+    if mp.noisemodel == "NegativeBinomial":
+        with plate("genes", mp.Ng, dim=-1):
+            shape_inv = sample(
+                "shape_inv",
+                dist.Gamma(
+                    jnp.broadcast_to(mp.gamma_alpha, (mp.Ng,)),
+                    jnp.broadcast_to(mp.gamma_beta, (mp.Ng,)),
+                ),
+            )
+    else:
+        shape_inv = None
+
+    # per-gene indicator, enumerated in parallel by TraceEnum_ELBO
+    p = jnp.clip(periodic_prob, 1e-6, 1 - 1e-6)[:, None]  # (Ng, 1)
+    periodic = sample(
+        "periodic", dist.Bernoulli(p), infer={"enumerate": "parallel"}
+    )
+
+    ElogS_full = _expected_log_s(nu, zeta, delta_nu, mp)
+    ElogS_flat = _expected_log_s(
+        nu[:, :1], jnp.ones((mp.Nc, 1), dtype=zeta.dtype), delta_nu, mp,
+    )
+    # reference `torch.where(periodic, full, const)`; under enumeration
+    # `periodic` carries a leading (2,) axis and everything broadcasts
+    ElogS = jnp.where(periodic == 1.0, ElogS_full, ElogS_flat)
+    deterministic("ElogS", ElogS_full)
+
+    if mp.noisemodel == "NegativeBinomial":
+        sample(
+            "S",
+            dist.NegativeBinomial(
+                mean=jnp.exp(ElogS), dispersion=shape_inv[:, None]
+            ),
+            obs=mp.S,
+        )
+    elif mp.noisemodel == "Poisson":
+        sample("S", dist.Poisson(jnp.exp(ElogS)), obs=mp.S)
+    elif mp.noisemodel == "Lognormal":
+        sample("logS", dist.Normal(ElogS, mp.sigma_gc), obs=mp.logS)
+    else:
+        raise ValueError(f"{mp.noisemodel} not allowed")
 
 
 def _clipped_sigmoid(x):
