@@ -27,6 +27,9 @@ __all__ = [
     "process_count",
     "process_cell_slice",
     "local_data_slice",
+    "globalize_data",
+    "globalize_params",
+    "replicate_global",
 ]
 
 _INITIALIZED = False
@@ -104,3 +107,81 @@ def local_data_slice(array, axis=-1, index=None, count=None):
     sl = [slice(None)] * np.ndim(array)
     sl[axis] = slice(lo, hi)
     return array[tuple(sl)]
+
+
+# -- multi-process array assembly -------------------------------------------
+# On a pod each host holds only its cell slice host-side; these helpers
+# assemble the GLOBAL jax.Arrays the jitted SPMD step consumes.  (Plain
+# `device_put` cannot do this: the target sharding spans non-addressable
+# devices.)  Single-process they degrade to ordinary sharded device_puts,
+# so the same program runs everywhere.
+
+def _to_global(local, sharding, global_shape=None):
+    local = np.asarray(local)
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape
+    )
+
+
+def globalize_data(local_data, mesh, global_Nc, axis="cells"):
+    """Assemble a globally-sharded PhaseData/VelocityData from THIS
+    process's host-side cell slice.
+
+    ``local_data`` carries the local `process_cell_slice` rows in its
+    cell-axis fields (counts, count_factor, phixy_prior, design rows) and
+    the full (replicated) gene-side priors; scalar dataset constants
+    (``lgamma_k_sum``) must already be GLOBAL sums — compute them before
+    slicing, or psum host-side.  Returns the same container type with
+    global jax.Arrays and ``Nc=global_Nc``.
+    """
+    import dataclasses
+
+    from .sharding import data_sharding_spec, _cell_axes_for_data
+
+    spec = data_sharding_spec(local_data, mesh, axis)
+    cell_axes = _cell_axes_for_data(local_data)
+    fields = {}
+    for name in local_data.__dataclass_fields__:
+        field = local_data.__dataclass_fields__[name]
+        if field.metadata.get("pytree_node", True) is False:
+            continue
+        leaf = getattr(local_data, name)
+        if leaf is None:
+            continue
+        ax = cell_axes.get(name)
+        if ax is None or getattr(leaf, "ndim", 0) <= ax:
+            fields[name] = _to_global(leaf, spec[name])
+        else:
+            gshape = list(np.shape(leaf))
+            gshape[ax] = int(global_Nc)
+            fields[name] = _to_global(leaf, spec[name], tuple(gshape))
+    return dataclasses.replace(local_data, **fields, Nc=int(global_Nc))
+
+
+def globalize_params(local_params, mesh, global_Nc, axis="cells"):
+    """Assemble globally-sharded variational params from per-process host
+    values: per-cell rows (``phixy_locs``/``phi_locs``) come from each
+    process's slice; gene/global params must be identical on every process
+    (same init key) and are replicated."""
+    from .sharding import param_sharding_spec, _PARAM_CELL_AXES
+
+    spec = param_sharding_spec(local_params, mesh, axis)
+    out = {}
+    for name, v in local_params.items():
+        ax = _PARAM_CELL_AXES.get(name)
+        if ax is None:
+            out[name] = _to_global(v, spec[name])
+        else:
+            gshape = list(np.shape(v))
+            gshape[ax] = int(global_Nc)
+            out[name] = _to_global(v, spec[name], tuple(gshape))
+    return out
+
+
+def replicate_global(tree, mesh):
+    """Replicate identical-on-every-process host values over a (possibly
+    multi-process) mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: _to_global(x, sh), tree)

@@ -44,6 +44,10 @@ _VELOCITY_CELL_AXES = {
 _PARAM_CELL_AXES = {"phixy_locs": 0, "phi_locs": 0}
 
 
+def _cell_axes_for_data(data):
+    return _VELOCITY_CELL_AXES if hasattr(data, "U") else _PHASE_CELL_AXES
+
+
 def _spec_for(name, ndim, cell_axes, axis="cells"):
     ax = cell_axes.get(name)
     if ax is None:
