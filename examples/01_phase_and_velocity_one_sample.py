@@ -18,7 +18,9 @@ from velocycle_tpu import (
 from velocycle_tpu.ops.circular import circular_corrcoef
 from velocycle_tpu.simulate import simulate_data
 
-NC, NG = 300, 80
+from _smoke import sz
+
+NC, NG = sz(300, 64), sz(80, 24)
 
 
 def main():
@@ -45,7 +47,7 @@ def main():
         with_delta_nu=False,
     )
     pfit = PhaseFitModel(mp, num_samples=100, n_per_bin=100)
-    pfit.fit(num_steps=2000, key=jax.random.PRNGKey(0))
+    pfit.fit(num_steps=sz(2000, 40), key=jax.random.PRNGKey(0))
     cc = float(circular_corrcoef(pfit.phase_fit.phis, true_phis))
     print(f"phase fit: ELBO {pfit.losses[0]:.0f} -> {pfit.losses[-1]:.0f}, "
           f"circular corr vs truth {cc:.3f}")
@@ -65,7 +67,7 @@ def main():
     }
     vfit = VelocityFitModel(vp, condition_on=condition_on,
                             get_posterior=False)
-    vfit.fit(num_steps=3000, key=jax.random.PRNGKey(1))
+    vfit.fit(num_steps=sz(3000, 40), key=jax.random.PRNGKey(1))
     omega = float(vfit.speed_fit.means.iloc[0, 0])
     print(f"constant-omega fit: omega {omega:.3f} (simulated 0.4), "
           f"period {vfit.period_hours()[0]:.1f} rad-units")
@@ -80,7 +82,7 @@ def main():
     )
     vfit2 = VelocityFitModel(vp2, condition_on=condition_on,
                              get_posterior=False)
-    vfit2.fit(num_steps=3000, key=jax.random.PRNGKey(2))
+    vfit2.fit(num_steps=sz(3000, 40), key=jax.random.PRNGKey(2))
     print("periodic-omega coefficients:")
     print(vfit2.speed_fit.means)
     print(f"period (trapz of 1/omega): {vfit2.period_hours()[0]:.2f}")

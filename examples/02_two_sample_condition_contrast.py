@@ -15,7 +15,9 @@ from velocycle_tpu import (
 )
 from velocycle_tpu.simulate import simulate_data
 
-NC_PER, NG = 200, 60
+from _smoke import sz
+
+NC_PER, NG = sz(200, 48), sz(60, 20)
 
 
 def main():
@@ -42,7 +44,7 @@ def main():
         with_delta_nu=True, sd_dnu=np.array([0.001, 0.1]),
     )
     pfit = PhaseFitModel(mp, get_posterior=False)
-    pfit.fit(num_steps=2000, key=jax.random.PRNGKey(0))
+    pfit.fit(num_steps=sz(2000, 40), key=jax.random.PRNGKey(0))
     print(f"phase fit ELBO {pfit.losses[0]:.0f} -> {pfit.losses[-1]:.0f}")
 
     # velocity with one omega per condition; condition design = batches
@@ -61,7 +63,7 @@ def main():
     }
     vfit = VelocityFitModel(vp, condition_on=condition_on,
                             get_posterior=False)
-    vfit.fit(num_steps=3000, key=jax.random.PRNGKey(1))
+    vfit.fit(num_steps=sz(3000, 40), key=jax.random.PRNGKey(1))
     om = vfit.speed_fit.means.iloc[0]
     periods = vfit.period_hours()
     print(f"omega d0 {om['d0']:.3f} (true 0.3)  d3 {om['d3']:.3f} "

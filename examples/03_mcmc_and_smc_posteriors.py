@@ -15,7 +15,9 @@ from velocycle_tpu import (
 )
 from velocycle_tpu.simulate import simulate_data
 
-NC, NG = 60, 20
+from _smoke import sz
+
+NC, NG = sz(60, 30), sz(20, 8)
 
 
 def main():
@@ -34,7 +36,8 @@ def main():
     )
 
     # -- NUTS --------------------------------------------------------------
-    fm = MCMCFitModel(mp, num_chains=4, num_warmup=400, num_samples=400)
+    fm = MCMCFitModel(mp, num_chains=sz(4, 2), num_warmup=sz(400, 60),
+                      num_samples=sz(400, 40))
     fm.run(jax.random.PRNGKey(0))
     d = fm.diagnostics
     print(f"NUTS accept {d['accept_rate']:.2f} "
@@ -51,7 +54,8 @@ def main():
     # -- SMC ---------------------------------------------------------------
     sm = SMCFitModel(
         mp, condition_on={"phi_xy": mp.data.phixy_prior},
-        num_particles=512, num_moves=3, max_stages=200,
+        num_particles=sz(512, 64), num_moves=sz(3, 1),
+        max_stages=sz(200, 40),
     )
     sm.run(jax.random.PRNGKey(1))
     print(f"SMC: {len(sm.temperature_schedule)} tempering stages, "

@@ -26,7 +26,9 @@ from velocycle_tpu import (
 from velocycle_tpu.anndata_lite import AnnDataLite
 from velocycle_tpu.ops.splines import spline_basis_auto
 
-NC, NG, N_BASIS = 400, 60, 8
+from _smoke import sz
+
+NC, NG, N_BASIS = sz(400, 64), sz(60, 16), sz(8, 6)
 OMEGA_TRUE = 0.5
 DOMAIN = (0.0, 1.0)
 
@@ -75,7 +77,7 @@ def main():
     fit = PhaseFitModel(
         mp, condition_on={"phi": jnp.asarray(t)}, get_posterior=False,
     )
-    fit.fit(num_steps=1200, key=jax.random.PRNGKey(0))
+    fit.fit(num_steps=sz(1200, 40), key=jax.random.PRNGKey(0))
     nu_hat = fit.params["nu_locs"]
     corr = np.corrcoef(
         (nu_hat @ truth["B"].T).ravel(), truth["ElogS"].ravel()
@@ -100,7 +102,7 @@ def main():
         condition_on={"phi": jnp.asarray(t), "nu": jnp.asarray(nu_hat)},
         get_posterior=False,
     )
-    vfit.fit(num_steps=3000, key=jax.random.PRNGKey(1))
+    vfit.fit(num_steps=sz(3000, 40), key=jax.random.PRNGKey(1))
     omega_hat = float(vfit.speed_fit.means_array.squeeze())
     shift = np.mean(np.log(truth["gamma"])) - np.mean(
         vfit.cycle_fit.log_gammas

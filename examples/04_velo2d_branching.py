@@ -5,16 +5,18 @@ velocity field, two-stage fit, correlations vs ground truth.
 """
 import jax
 
+from _smoke import sz
 from velocycle_tpu.twodim import (
     evaluate_fit, generate_adata, prepare_data, train_velo2d,
 )
 
 
 def main():
-    adata = generate_adata(n_cells=400, n_genes=48, seed=0)
+    adata = generate_adata(n_cells=sz(400, 96), n_genes=sz(48, 12), seed=0)
     pd = prepare_data(adata)
     results, losses_s, losses_u = train_velo2d(
-        pd, n_steps_s=800, n_steps_u=800, key=jax.random.PRNGKey(0)
+        pd, n_steps_s=sz(800, 30), n_steps_u=sz(800, 30),
+        key=jax.random.PRNGKey(0)
     )
     print(f"stage S ELBO {losses_s[0]:.0f} -> {losses_s[-1]:.0f}")
     print(f"stage U ELBO {losses_u[0]:.0f} -> {losses_u[-1]:.0f}")

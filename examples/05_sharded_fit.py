@@ -8,6 +8,7 @@ JAX_PLATFORMS=cpu to exercise 8 virtual devices.
 import numpy as np
 import jax
 
+from _smoke import sz
 from velocycle_tpu import Cycle, Phases, preprocess_for_phase_estimation
 from velocycle_tpu.core import handlers
 from velocycle_tpu.infer import SVI, Trace_ELBO, clipped_adam
@@ -22,8 +23,8 @@ from velocycle_tpu.simulate import simulate_data
 def main():
     distributed.initialize()  # no-op off-pod
     n_dev = len(jax.devices())
-    Nc = 128 * n_dev
-    adata = simulate_data(Nc=Nc, Ng=64, seed=4)
+    Nc = sz(128, 16) * n_dev
+    adata = simulate_data(Nc=Nc, Ng=sz(64, 16), seed=4)
     cycle = Cycle.trivial_prior(list(adata.var.index), harmonics=1)
     phases = Phases.from_angles(
         adata.obs["simulated_phis"].values,
@@ -37,7 +38,7 @@ def main():
     data = shard_phase_data(mp.data, mesh)
     svi = SVI(mp.model_fn, mp.guide_fn, clipped_adam(), Trace_ELBO())
     state = svi.init_sharded(jax.random.PRNGKey(0), mesh, data)
-    state, losses = svi.update_chunk(state, 200, data)
+    state, losses = svi.update_chunk(state, sz(200, 20), data)
     losses = np.asarray(jax.device_get(losses))
     print(f"{n_dev}-device mesh: ELBO {losses[0]:.0f} -> {losses[-1]:.0f}")
     print("S sharding:", data.S.sharding)
@@ -47,7 +48,8 @@ def main():
         mp.model_fn, data={"phi_xy": mp.data.phixy_prior}
     )
     chains_mesh = make_mesh(("chains",))
-    m = MCMC(model, kernel="nuts", num_warmup=100, num_samples=100,
+    m = MCMC(model, kernel="nuts", num_warmup=sz(100, 30),
+             num_samples=sz(100, 20),
              num_chains=n_dev, max_depth=6)
     m.run(jax.random.PRNGKey(1), mp.data, mesh=chains_mesh)
     rhat = float(m.summary()["nu"]["rhat"].max())
@@ -55,10 +57,10 @@ def main():
           f"{m.accept_rate():.2f}, max rhat {rhat:.3f}")
 
     # -- sharded SMC particles --------------------------------------------
-    smc = SMC(model, num_particles=32 * n_dev, num_moves=2)
+    smc = SMC(model, num_particles=sz(32, 8) * n_dev, num_moves=sz(2, 1))
     smc.run(jax.random.PRNGKey(2), mp.data,
             mesh=make_mesh(("particles",)))
-    print(f"sharded SMC: {32 * n_dev} particles, "
+    print(f"sharded SMC: {sz(32, 8) * n_dev} particles, "
           f"{len(smc.temperature_schedule)} stages, "
           f"logZ {smc.log_evidence():.1f}")
 

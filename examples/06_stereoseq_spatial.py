@@ -27,7 +27,9 @@ from velocycle_tpu import (
 from velocycle_tpu.ops.circular import circular_corrcoef
 from velocycle_tpu.simulate import simulate_data
 
-NC, NG = 600, 150
+from _smoke import sz
+
+NC, NG = sz(600, 80), sz(150, 24)
 
 
 def main():
@@ -77,7 +79,7 @@ def main():
         num_samples=50, n_per_bin=50,
     )
     fit.check_model()
-    fit.fit(num_steps=2000, key=jax.random.PRNGKey(0))
+    fit.fit(num_steps=sz(2000, 40), key=jax.random.PRNGKey(0))
 
     cc = float(circular_corrcoef(fit.phase_fit.phis, true_phis))
     print(

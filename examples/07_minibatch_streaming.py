@@ -26,7 +26,9 @@ from velocycle_tpu.infer import MinibatchSVI, iter_host_blocks
 from velocycle_tpu.ops.circular import circular_corrcoef
 from velocycle_tpu.simulate import simulate_data
 
-NC, NG, NBLK = 2000, 120, 8
+from _smoke import sz
+
+NC, NG, NBLK = sz(2000, 256), sz(120, 24), sz(8, 4)
 
 
 def main():
@@ -49,7 +51,8 @@ def main():
 
     # ---- on-device minibatch fit (blocks pre-split in HBM) --------------
     mb = MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=NBLK, lr=0.05)
-    state, losses = mb.fit(jax.random.PRNGKey(0), mp.data, num_epochs=150)
+    state, losses = mb.fit(jax.random.PRNGKey(0), mp.data,
+                           num_epochs=sz(150, 8))
     locs = np.asarray(mb.get_params(state)["phixy_locs"])
     cc = float(circular_corrcoef(
         np.arctan2(locs[:, 1], locs[:, 0]), true_phis
@@ -73,7 +76,7 @@ def main():
 
     mb2 = MinibatchSVI(mp.model_fn, mp.guide_fn, num_blocks=NBLK, lr=0.05)
     state2, losses2 = mb2.fit_streamed(
-        jax.random.PRNGKey(0), mp.data, factory, num_epochs=20
+        jax.random.PRNGKey(0), mp.data, factory, num_epochs=sz(20, 3)
     )
     print(f"host-streamed: {len(losses2)} steps, "
           f"loss {losses2[0]:.0f} -> {losses2[-1]:.0f} "

@@ -17,6 +17,9 @@ from velocycle_tpu import (
 from velocycle_tpu.ops.circular import circular_corrcoef
 from velocycle_tpu.simulate import simulate_data
 
+
+pytestmark = pytest.mark.slow  # heavy fits/samplers: fast lane skips this module
+
 NC, NG = 120, 40
 
 

@@ -8,6 +8,7 @@ Lanczos lgamma vs XLA's lgamma).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 
 from velocycle_tpu import (
@@ -47,6 +48,7 @@ def test_phase_fused_elbo_parity():
     np.testing.assert_allclose(lf, lp, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_phase_fused_elbo_parity_with_delta_nu():
     adata, cycle, phases = _sim(seed=4)
     design = np.asarray(
@@ -62,6 +64,7 @@ def test_phase_fused_elbo_parity_with_delta_nu():
                                rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_velocity_fused_elbo_parity():
     adata, cycle, phases = _sim(seed=5)
     speed = AngularSpeed.trivial_prior(["cond"], harmonics=1)
@@ -76,6 +79,7 @@ def test_velocity_fused_elbo_parity():
                                rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_velocity_fused_lrmn_parity():
     adata, cycle, phases = _sim(seed=6)
     speed = AngularSpeed.trivial_prior(["cond"], harmonics=0)
@@ -90,6 +94,7 @@ def test_velocity_fused_lrmn_parity():
                                rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_fused_fit_driver_posterior_unfuses():
     """The fit driver's Predictive path must expose ElogS even when the
     fit itself ran fused (the fused model records no ElogS site)."""
@@ -107,6 +112,7 @@ def test_fused_fit_driver_posterior_unfuses():
     assert np.isfinite(fit.posterior["nu"]).all()
 
 
+@pytest.mark.slow
 def test_nuts_through_fused_kernel():
     """The fused Pallas likelihood also drives MCMC: the NUTS potential's
     gradient flows through the custom VJP.  Posterior means must agree with

@@ -12,6 +12,9 @@ from velocycle_tpu.core import handlers as h
 from velocycle_tpu.infer.mcmc import MCMC, init_model
 
 
+
+pytestmark = pytest.mark.slow  # heavy fits/samplers: fast lane skips this module
+
 def _gauss_gamma():
     h.sample("x", dist.Normal(2.0, 3.0))
     h.sample("y", dist.Gamma(2.0, 1.0))

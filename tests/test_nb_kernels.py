@@ -1,6 +1,7 @@
 """Fused NB log-likelihood kernel vs the jnp reference: forward + all
 four gradients (interpret mode on CPU; compiled Mosaic on TPU)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,8 @@ from velocycle_tpu.ops.nb_kernels import (
     nb_loglik_fused,
     nb_loglik_reference,
 )
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas compiles: fast lane skips
 
 
 def _inputs(Ng=50, Nc=70, Nh=5, seed=0):

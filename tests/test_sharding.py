@@ -32,6 +32,7 @@ def _metapars(Nc=64, Ng=12):
     )
 
 
+@pytest.mark.slow
 def test_sharded_update_matches_single_device():
     mp = _metapars()
     n = len(jax.devices())
@@ -71,6 +72,7 @@ def test_sharded_chunk_runs():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import sys
 
@@ -80,6 +82,7 @@ def test_graft_dryrun_multichip():
     __graft_entry__.dryrun_multichip(len(jax.devices()))
 
 
+@pytest.mark.slow
 def test_sharded_trajectory_matches_single_device():
     """ELBO *trajectories* (not just one step) agree between the 1-device
     and 8-device SPMD programs — the device-count-invariance half of the

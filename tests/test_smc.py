@@ -1,6 +1,7 @@
 """Tempered SMC: posterior moments, log-evidence, constrained supports,
 adaptive schedule behavior."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import scipy.stats as st
@@ -8,6 +9,8 @@ import scipy.stats as st
 from velocycle_tpu.core import distributions as dist
 from velocycle_tpu.core import handlers as h
 from velocycle_tpu.infer.smc import SMC
+
+pytestmark = pytest.mark.slow  # tempered SMC runs: fast lane skips this module
 
 
 def test_conjugate_posterior_and_evidence():

@@ -29,6 +29,9 @@ from velocycle_tpu import (
 from velocycle_tpu.anndata_lite import AnnDataLite
 from velocycle_tpu.ops.splines import spline_basis_auto
 
+
+pytestmark = pytest.mark.slow  # heavy fits/samplers: fast lane skips this module
+
 NC, NG, NB = 300, 40, 8
 OMEGA_TRUE = 0.5
 MU_GAMMA, MU_BETA = 0.0, 2.0

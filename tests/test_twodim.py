@@ -12,6 +12,9 @@ from velocycle_tpu.twodim import (
 )
 
 
+
+pytestmark = pytest.mark.slow  # heavy fits/samplers: fast lane skips this module
+
 @pytest.fixture(scope="module")
 def sim2d():
     return generate_adata(n_cells=200, n_genes=24, seed=0)

@@ -10,6 +10,7 @@
     snapshots (store_output) and plate checking.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -54,6 +55,7 @@ def _lba_sim(Ng=40, Nc=200, n_flat=20, seed=0):
     return adata, phis, nu, n_flat
 
 
+@pytest.mark.slow
 def test_lba_separates_periodic_from_flat():
     adata, phis, true_nu, n_flat = _lba_sim()
     Ng = true_nu.shape[0]
@@ -84,6 +86,7 @@ def test_lba_separates_periodic_from_flat():
 # LRMN: the beta|gamma conditional regression encodes rho
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_lrmn_guide_gamma_beta_correlation():
     """Draw many guide samples at fixed params and check the empirical
     per-gene corr(log_gamma, log_beta) matches rho(rho_real) =
@@ -146,6 +149,7 @@ def _small_fit(num_steps=60, store_output=False, **fit_kw):
     return fit
 
 
+@pytest.mark.slow
 def test_fit_bit_reproducible():
     """Two identical fits (same key) must agree bit-for-bit — losses and
     every extracted parameter (the determinism claim in fit.py:17)."""
