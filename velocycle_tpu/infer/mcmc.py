@@ -46,15 +46,18 @@ _DEBUG = False
 # ---------------------------------------------------------------------------
 
 class ModelInfo(NamedTuple):
-    potential_fn: callable        # (flat_u) -> -log p(u)  [unconstrained]
+    potential_fn: callable        # (flat_u) -> -log p(u) + log_offset
     unflatten: callable           # flat_u -> {site: constrained value}
     init_u: jnp.ndarray           # a flat init point
     site_meta: dict               # {site: (shape, size, constraint)}
     wrap_fn: callable = None      # flat_u -> flat_u with S^1 coords wrapped
+    log_offset: float = 0.0       # constant subtracted from -potential (the
+    #                               per-element baseline sum; add back when
+    #                               an ABSOLUTE log density is needed)
 
 
 def init_model(model, *args, key=None, init_strategy="prior",
-               init_values=None, **kwargs):
+               init_values=None, subtract_baseline=True, **kwargs):
     """Trace the model once to discover latent sites, build bijections, and
     return a `ModelInfo` with a flat potential function.
 
@@ -63,6 +66,24 @@ def init_model(model, *args, key=None, init_strategy="prior",
     far tighter than the prior: a prior-drawn init can sit many thousands
     of posterior standard deviations from the typical set, which no
     fixed-depth NUTS warmup can traverse.
+
+    ``subtract_baseline`` (default True) subtracts each sample site's
+    ELEMENTWISE log-prob at the init point — a precomputed constant — from
+    the site's log-prob before the reduction.  This is a pure constant
+    shift of the potential (same posterior, same gradients; the shift is
+    recorded in ``log_offset``) but it is load-bearing for float32
+    samplers: on a Ng x Nc count model the raw joint reduces ~1e4-1e5
+    terms to a sum of magnitude ~1e4-1e5, and float32 tree-reduction
+    rounding at that magnitude injects O(0.1-3) nats of state-dependent
+    noise into every Metropolis energy difference.  Measured on the
+    bench phase model (Ng=50 x Nc=500): raw-f32 potential noise 0.25 std /
+    3.2 max nats vs an exact f64 reference — enough to pin NUTS accept
+    statistics below the 0.8 dual-averaging target at ANY step size,
+    crashing the step size to its floor and freezing all chains (the
+    round-3 "R-hat 135" pathology).  Baselined, the summed magnitude is
+    O(1e2) and the noise drops ~2 orders of magnitude.  TPU-first: this
+    is how you get f64-grade MCMC acceptance arithmetic out of an
+    f32-only accelerator.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -123,29 +144,63 @@ def init_model(model, *args, key=None, init_strategy="prior",
         wrapped = jnp.mod(flat_u + math.pi, 2.0 * math.pi) - math.pi
         return jnp.where(circular_mask, wrapped, flat_u)
 
-    def potential_fn(flat_u):
-        values = {}
-        log_det = 0.0
-        i = 0
-        for name, (shape, size, constraint) in site_meta.items():
-            u = flat_u[i:i + size].reshape(shape)
-            values[name] = constraint.forward(u)
-            log_det = log_det + constraint.log_abs_det_jacobian(u).sum()
-            i += size
-        sub = handlers.substitute(model, data=values)
-        tr = handlers.trace(
-            handlers.seed(sub, jax.random.PRNGKey(0))
-        ).get_trace(*args, **kwargs)
-        logp = 0.0
-        for name, site in tr.items():
+    # -- per-element baselines at the init point (see docstring) ----------
+    baselines = {}
+    log_offset = 0.0
+    if subtract_baseline:
+        with jax.default_matmul_precision("highest"):
+            values0 = unflatten(init_u)
+            sub0 = handlers.substitute(model, data=values0)
+            tr0 = handlers.trace(
+                handlers.seed(sub0, jax.random.PRNGKey(0))
+            ).get_trace(*args, **kwargs)
+        for name, site in tr0.items():
             if site["type"] != "sample":
                 continue
             if site.get("infer", {}).get("is_auxiliary"):
                 continue
-            logp = logp + site["fn"].log_prob(site["value"]).sum()
-        return -(logp + log_det)
+            lp0 = jax.lax.stop_gradient(site["fn"].log_prob(site["value"]))
+            baselines[name] = lp0
+            # exact constant, accumulated in f64 on the host
+            log_offset += float(
+                np.sum(np.asarray(jax.device_get(lp0), np.float64))
+            )
 
-    return ModelInfo(potential_fn, unflatten, init_u, site_meta, wrap_fn)
+    def potential_fn(flat_u):
+        # full-precision matmuls: on TPU, XLA lowers f32 matmuls to bf16
+        # MXU passes by default — fine for SVI's stochastic gradients,
+        # fatal for Metropolis energy differences (bf16 rounding in
+        # ElogS = nu @ zeta^T injects O(0.1-1) nats of state-dependent
+        # noise into the joint).  The matmuls here are tiny relative to
+        # the elementwise NB work, so "highest" costs ~nothing.
+        with jax.default_matmul_precision("highest"):
+            values = {}
+            log_det = 0.0
+            i = 0
+            for name, (shape, size, constraint) in site_meta.items():
+                u = flat_u[i:i + size].reshape(shape)
+                values[name] = constraint.forward(u)
+                log_det = log_det + constraint.log_abs_det_jacobian(u).sum()
+                i += size
+            sub = handlers.substitute(model, data=values)
+            tr = handlers.trace(
+                handlers.seed(sub, jax.random.PRNGKey(0))
+            ).get_trace(*args, **kwargs)
+            logp = 0.0
+            for name, site in tr.items():
+                if site["type"] != "sample":
+                    continue
+                if site.get("infer", {}).get("is_auxiliary"):
+                    continue
+                lp = site["fn"].log_prob(site["value"])
+                b = baselines.get(name)
+                if b is not None:
+                    lp = lp - b  # same trace, same shapes by construction
+                logp = logp + lp.sum()
+            return -(logp + log_det)
+
+    return ModelInfo(potential_fn, unflatten, init_u, site_meta, wrap_fn,
+                     log_offset)
 
 
 def block_precondition(info: ModelInfo, blocks):
@@ -236,6 +291,7 @@ def block_precondition(info: ModelInfo, blocks):
         init_u=jnp.zeros_like(info.init_u),
         site_meta=info.site_meta,
         wrap_fn=wrap_fn if has_circ else None,
+        log_offset=info.log_offset,
     )
 
 
@@ -289,10 +345,20 @@ def _da_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0,
     # keep the step within sane bounds: an unlucky warmup realization in a
     # high-curvature region (funnel neck) must not drive the step to
     # numerical zero and freeze the chain
-    log_step = jnp.clip(log_step, jnp.log(1e-5), jnp.log(1e2))
+    log_step_c = jnp.clip(log_step, jnp.log(1e-5), jnp.log(1e2))
+    # anti-windup: while the clip binds, cap the integral error at the
+    # value consistent with the bound.  Without this a chain that crashed
+    # to the floor keeps accumulating h_sum and needs O(h_sum/0.2) good
+    # steps to recover — in practice it never does within a warmup window
+    # (the r3 "2/16 chains frozen in sampling" tail), whereas with the
+    # cap a run of high accepts lifts it off the floor in ~20 steps.
+    h_sum = jnp.where(
+        log_step_c == log_step, h_sum,
+        gamma * (state.mu - log_step_c) * (t + t0) / jnp.sqrt(t),
+    )
     eta = t ** (-kappa)
-    log_step_avg = eta * log_step + (1 - eta) * state.log_step_avg
-    return DAState(log_step, log_step_avg, h_sum, state.mu, t)
+    log_step_avg = eta * log_step_c + (1 - eta) * state.log_step_avg
+    return DAState(log_step_c, log_step_avg, h_sum, state.mu, t)
 
 
 # ---------------------------------------------------------------------------
@@ -621,6 +687,15 @@ def _warmup_and_sample(step_fn, potential_fn, q0, key, num_warmup,
         # mass -> frozen sampling)
         var = (count / (count + 5.0)) * var + 1e-3 * (5.0 / (count + 5.0))
         var = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
+        # frozen-chain guard: a chain that barely moved in window 2 hands
+        # window 3 a collapsed metric (the r3 pathology: collected var
+        # ~4e-5 in a unit-whitened space).  Adopting a metric that shrinks
+        # the typical coordinate by >1e4x relative to the one the chain
+        # was actually sampling under is never evidence, only freeze —
+        # keep the previous metric and let window-3 DA re-adapt instead.
+        at_mass_switch = at_mass_switch & (
+            jnp.median(var / jnp.maximum(inv_mass, 1e-30)) > 1e-4
+        )
         inv_mass = jnp.where(at_mass_switch, var, inv_mass)
         da = jax.tree_util.tree_map(
             lambda new, old: jnp.where(at_mass_switch, new, old),
@@ -636,8 +711,17 @@ def _warmup_and_sample(step_fn, potential_fn, q0, key, num_warmup,
         # of detailed-balance concerns.  (Runs AFTER the metric switch so
         # a rescued chain is not handed the frozen chain's garbage
         # variances or a clobbered DA state.)
+        # "stuck" = the step size fell >150x below its initial value: a
+        # chain whose jittered init landed on a numerical cliff (e.g. a
+        # dispersion coordinate near r -> 0) rejects at ANY eps, so DA
+        # keeps falling; a healthy chain's adapted eps stays within an
+        # order of magnitude of a sane init.  (A fixed absolute floor is
+        # knife-edged: the r3 freeze sat at eps ~1e-4, just above a 3e-5
+        # threshold, and was never rescued.)
         at_boundary = (i == n1) | (i == n1 + n2)
-        stuck = at_boundary & (da.log_step < jnp.log(3e-5))
+        stuck = at_boundary & (
+            da.log_step < jnp.log(step_size) - 5.0
+        )
         q = jnp.where(stuck, q_safe, q)
         pot = jnp.where(stuck, pot_safe, pot)
         grad = jnp.where(stuck, grad_safe, grad)

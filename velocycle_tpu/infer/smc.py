@@ -36,17 +36,28 @@ __all__ = ["SMC", "init_tempered_model"]
 
 
 class TemperedModel(NamedTuple):
-    log_prior_fn: callable     # flat_u -> log p(latents) + log|J|
-    log_lik_fn: callable       # flat_u -> log p(observed | latents)
+    log_prior_fn: callable     # flat_u -> log p(latents) + log|J| - C_prior
+    log_lik_fn: callable       # flat_u -> log p(obs | latents) - C_lik
     unflatten: callable
     sample_prior_u: callable   # key -> flat_u  (one prior draw)
     dim: int
+    log_lik_offset: float = 0.0   # C_lik: add back for ABSOLUTE logZ
 
 
 def init_tempered_model(model, *args, key=None, **kwargs):
     """Split the model's joint into prior and likelihood parts over a flat
     unconstrained vector (observed sites = likelihood; latent sites =
-    prior, with bijection Jacobians)."""
+    prior, with bijection Jacobians).
+
+    Both parts are returned BASELINED: each site's elementwise log-prob at
+    a reference prior draw is subtracted before the reduction.  Same
+    posterior and same tempered weights (the shift cancels in normalized
+    weights and ESS), but the float32 reduction noise drops ~2 orders of
+    magnitude — load-bearing for the Metropolis arithmetic of the
+    rejuvenation moves and for weight stability at scale (see
+    `mcmc.init_model`'s docstring for the measurement).  The likelihood's
+    subtracted constant is recorded in ``log_lik_offset``;
+    `SMC.log_evidence` adds it back."""
     if key is None:
         key = jax.random.PRNGKey(0)
     tr = handlers.trace(handlers.seed(model, key)).get_trace(*args, **kwargs)
@@ -74,11 +85,32 @@ def init_tempered_model(model, *args, key=None, **kwargs):
         return values, log_det
 
     def _traced(flat_u):
-        values, log_det = _values_and_logdet(flat_u)
-        sub = handlers.substitute(model, data=values)
-        return handlers.trace(
-            handlers.seed(sub, jax.random.PRNGKey(0))
-        ).get_trace(*args, **kwargs), log_det
+        # full-precision matmuls: Metropolis/weight arithmetic cannot
+        # tolerate the TPU's default bf16 matmul rounding (see
+        # mcmc.init_model)
+        with jax.default_matmul_precision("highest"):
+            values, log_det = _values_and_logdet(flat_u)
+            sub = handlers.substitute(model, data=values)
+            return handlers.trace(
+                handlers.seed(sub, jax.random.PRNGKey(0))
+            ).get_trace(*args, **kwargs), log_det
+
+    # elementwise baselines at the reference draw (the seeding trace)
+    prior_baselines, lik_baselines = {}, {}
+    log_lik_offset = 0.0
+    for name, site in tr.items():
+        if site["type"] != "sample":
+            continue
+        if site.get("infer", {}).get("is_auxiliary"):
+            continue
+        lp0 = jax.lax.stop_gradient(site["fn"].log_prob(site["value"]))
+        if site["is_observed"]:
+            lik_baselines[name] = lp0
+            log_lik_offset += float(
+                np.sum(np.asarray(jax.device_get(lp0), np.float64))
+            )
+        else:
+            prior_baselines[name] = lp0
 
     def log_prior_fn(flat_u):
         tr, log_det = _traced(flat_u)
@@ -88,7 +120,11 @@ def init_tempered_model(model, *args, key=None, **kwargs):
                 continue
             if site.get("infer", {}).get("is_auxiliary"):
                 continue
-            lp = lp + site["fn"].log_prob(site["value"]).sum()
+            term = site["fn"].log_prob(site["value"])
+            b = prior_baselines.get(name)
+            if b is not None:
+                term = term - b
+            lp = lp + term.sum()
         return lp
 
     def log_lik_fn(flat_u):
@@ -96,7 +132,11 @@ def init_tempered_model(model, *args, key=None, **kwargs):
         ll = 0.0
         for name, site in tr.items():
             if site["type"] == "sample" and site["is_observed"]:
-                ll = ll + site["fn"].log_prob(site["value"]).sum()
+                term = site["fn"].log_prob(site["value"])
+                b = lik_baselines.get(name)
+                if b is not None:
+                    term = term - b
+                ll = ll + term.sum()
         return ll
 
     def unflatten(flat_u):
@@ -114,7 +154,7 @@ def init_tempered_model(model, *args, key=None, **kwargs):
         return jnp.concatenate(parts)
 
     return TemperedModel(log_prior_fn, log_lik_fn, unflatten,
-                         sample_prior_u, dim)
+                         sample_prior_u, dim, log_lik_offset)
 
 
 def _systematic_resample(key, log_weights, n):
@@ -288,7 +328,10 @@ class SMC:
         return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
 
     def log_evidence(self):
-        return self._log_Z
+        """log Z.  The tempered weights used the BASELINED likelihood
+        (l - C); over the full 0->1 schedule that under-counts by exactly
+        C = ``log_lik_offset``, added back here."""
+        return self._log_Z + self.tempered.log_lik_offset
 
     @property
     def temperature_schedule(self):

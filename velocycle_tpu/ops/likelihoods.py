@@ -30,16 +30,41 @@ def nb_logpmf(k, elog_mu, dispersion):
       log p(k) = lgamma(k + a) - lgamma(a) - lgamma(k+1)
                  + a*log(b) - (a+k)*log1p(b)
     with a = 1/r, log(b) = -log(r) - elog_mu.
+
+    Computed in the cancellation-free form (see
+    `core.distributions.GammaPoisson.log_prob` for the derivation and the
+    f32 noise measurement that motivates it):
+      lgamma(k+a) - lgamma(a)    -> Stirling log1p expansion for a >= 8
+      a*log b - (a+k)*log1p(b)   -> -a*softplus(s) - k*softplus(-s),
+                                    s = elog_mu + log(r)  (so e^s = r*mu)
     """
     a = 1.0 / dispersion
-    log_b = -jnp.log(dispersion) - elog_mu
-    b = jnp.exp(log_b)
+    s = elog_mu + jnp.log(dispersion)
+    direct = jsp.gammaln(k + a) - jsp.gammaln(a)
+
+    def rc(z):
+        z2 = z * z
+        return (
+            (1.0 / 12.0) / z
+            - (1.0 / 360.0) / (z * z2)
+            + (1.0 / 1260.0) / (z * z2 * z2)
+        )
+
+    a_big = jnp.maximum(a, 8.0)
+    stirling = (
+        (a_big - 0.5) * jnp.log1p(k / a_big)
+        + k * jnp.log(a_big + k)
+        - k
+        + rc(a_big + k)
+        - rc(a_big)
+    )
+    lgam_diff = jnp.where(a >= 8.0, stirling, direct)
+    softplus = lambda x: jnp.logaddexp(x, 0.0)
     return (
-        jsp.gammaln(k + a)
-        - jsp.gammaln(a)
+        lgam_diff
         - jsp.gammaln(k + 1.0)
-        + a * log_b
-        - (a + k) * jnp.log1p(b)
+        - a * softplus(s)
+        - k * softplus(-s)
     )
 
 
