@@ -317,6 +317,7 @@ class enum(Messenger):
     def __enter__(self):
         super().__enter__()
         self.count = 0
+        self._batch_ndim = None
         return self
 
     def process_message(self, msg):
@@ -330,6 +331,19 @@ class enum(Messenger):
         support = msg["fn"].enumerate_support()  # (K,) + batch_shape
         K = support.shape[0]
         batch = support.shape[1:]
+        # the (1,)*count prefix only forms a correct joint enum block when
+        # every enumerated site shares one batch ndim — differing ndims
+        # would collide enum axes with batch axes (silently mis-joined
+        # enumeration at worst); fail loudly instead
+        if self._batch_ndim is None:
+            self._batch_ndim = len(batch)
+        elif len(batch) != self._batch_ndim:
+            raise ValueError(
+                f"enumerated site {msg['name']!r} has batch ndim "
+                f"{len(batch)} but an earlier enumerated site had "
+                f"{self._batch_ndim}; give all enumerated sites the same "
+                "batch ndim (broadcast their distribution parameters)"
+            )
         msg["value"] = support.reshape((K,) + (1,) * self.count + batch)
         msg["infer"]["_enumerated"] = True
         self.count += 1

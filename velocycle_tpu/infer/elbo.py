@@ -155,6 +155,24 @@ class TraceEnum_ELBO:
                 for n in dep_names:
                     lp, nb = lps[n], base_ndim[n]
                     extra = lp.ndim - nb
+                    # the factor's trailing base axes must be broadcast-
+                    # compatible with the enum profile (size equal, or 1
+                    # on either side) — a silent positional reduction on
+                    # a mismatched axis would marginalize the WRONG axis
+                    # and return a wrong ELBO/gradient with no error
+                    for r in range(1, min(nb, len(profile)) + 1):
+                        ls, ps = lp.shape[-r], profile[-r]
+                        if ls != ps and ls != 1 and ps != 1:
+                            raise ValueError(
+                                f"enumerated-dependent factor {n!r} has "
+                                f"batch shape {lp.shape[extra:]} whose "
+                                f"axis -{r} (size {ls}) is not broadcast-"
+                                f"compatible with the enumeration "
+                                f"profile {tuple(profile)} (size {ps}); "
+                                "reshape the factor so its trailing axes "
+                                "line up with the enumerated sites' "
+                                "batch shape"
+                            )
                     # sum base axes the enum profile does not carry INSIDE
                     # the marginalization (keepdims preserves alignment)
                     reduce_axes = tuple(

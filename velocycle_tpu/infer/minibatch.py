@@ -488,9 +488,13 @@ class MinibatchSVI:
 
         takes_epoch = False
         try:
-            takes_epoch = len(
-                inspect.signature(block_factory).parameters
-            ) >= 1
+            takes_epoch = any(
+                p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD,
+                           p.VAR_POSITIONAL)
+                for p in inspect.signature(
+                    block_factory
+                ).parameters.values()
+            )  # keyword-only/**kwargs params cannot receive the epoch
         except (TypeError, ValueError):
             pass
         state = self.init(key, data)

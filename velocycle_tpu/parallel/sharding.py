@@ -33,12 +33,17 @@ __all__ = [
 ]
 
 # leaf-name -> index of the cell axis in that leaf's shape
+# (phi_prior is the per-cell (Nc,) pseudotime prior of the spline/1-D
+# models — without it multi-process globalize_data treated a local slice
+# as replicated and failed to widen it to global_Nc)
 _PHASE_CELL_AXES = {
     "S": 1, "logS": 1, "count_factor": 0, "phixy_prior": 0, "Db": 1,
+    "phi_prior": 0,
 }
 _VELOCITY_CELL_AXES = {
     "S": 1, "U": 1, "logS": 1, "logU": 1,
     "count_factor": 0, "phixy_prior": 0, "Db": 1, "D": 1,
+    "phi_prior": 0,
 }
 # variational params with a leading cell axis
 _PARAM_CELL_AXES = {"phixy_locs": 0, "phi_locs": 0}
@@ -50,7 +55,7 @@ def _cell_axes_for_data(data):
 
 def _spec_for(name, ndim, cell_axes, axis="cells"):
     ax = cell_axes.get(name)
-    if ax is None:
+    if ax is None or ax >= ndim:      # absent/None leaf (ndim 0): replicate
         return P()
     parts = [None] * ndim
     parts[ax] = axis
