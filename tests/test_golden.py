@@ -1,9 +1,12 @@
-"""Golden-number cross-validation vs the reference Pyro fit (SURVEY §4(c)).
+"""Golden-number cross-validation vs a reference fit (SURVEY §4(c)).
 
-The artifact `tests/golden/reference_phase_fit.npz` is produced by
-`tools/golden_vs_reference.py produce` in an environment with torch+pyro
-(this rig ships torch but not pyro, so the produce half skips here); the
-comparison runs whenever the artifact is present.
+The committed artifact `tests/golden/reference_phase_fit.npz` was produced
+by `tools/reference_torch_fit.py` — the reference's phase model + guide
+replicated site-for-site in raw torch.distributions (float64), fit with
+ClippedAdam-equivalent optimization.  An environment with pyro can instead
+produce it from the actual reference code via `tools/golden_vs_reference.py
+produce` (this rig ships torch but not pyro).  The comparison runs
+whenever the artifact is present.
 """
 import importlib.util
 import os
