@@ -49,15 +49,20 @@ BASELINES = {
     "velo_const_2s": 9.1,
     "velo_per_2s": 9.1,
 }
-# (group name, per-group budget seconds).  Worst case sums to ~1800 s but
-# the expected total is well under half of that; the parent also enforces
-# GLOBAL_BUDGET_S and shrinks later budgets to whatever remains.
+# (group name, per-group budget seconds).  Budgets are generous (r3 saw a
+# 74.7 s compile when the relay wedged); the parent enforces
+# GLOBAL_BUDGET_S, shrinks later budgets to whatever remains, runs the
+# at-scale groups first, and RETRIES failed/timed-out groups once with
+# the remaining global budget.  `warm` is a throwaway pre-pass: it wakes
+# the relay tunnel and seeds the persistent compile cache so the first
+# timed group never pays relay cold-start.
 GROUPS = [
-    ("headline", 240),
-    ("scale", 420),
+    ("warm", 150),
+    ("headline", 420),
+    ("scale", 600),
     ("smc", 300),
     ("nuts", 420),
-    ("parity", 180),
+    ("parity", 300),
     ("svi5", 420),
 ]
 GLOBAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", 1800))
@@ -76,12 +81,17 @@ def _bench_svi(svi, data, label, chunk=CHUNK, reps=REPS, extra=None):
     state, losses = svi.update_chunk(state, chunk, data)
     last = float(jax.device_get(losses[-1]))
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, losses = svi.update_chunk(state, chunk, data)
-    last = float(jax.device_get(losses[-1]))
-    dt = time.perf_counter() - t0
-    rate = reps * chunk / dt
+    # two independent timing windows, best-of: a transient relay stall in
+    # one window must not masquerade as a throughput regression (r3:
+    # velo_per_2s "dropped" 47% while its twin held steady)
+    rate = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, losses = svi.update_chunk(state, chunk, data)
+        last = float(jax.device_get(losses[-1]))
+        dt = time.perf_counter() - t0
+        rate = max(rate, reps * chunk / dt)
     row = {
         "row": label, "evals_per_s": round(rate, 1),
         "compile_s": round(compile_s, 1), "final_loss": round(last, 1),
@@ -111,7 +121,7 @@ def _sim(Nc, Ng, H, seed, two_sample=False):
     return adata, cycle, phases, design
 
 
-def _phase_row(label, Nc, two_sample, seed):
+def _phase_row(label, Nc, two_sample, seed, chunk=CHUNK, reps=REPS):
     from velocycle_tpu import preprocess_for_phase_estimation
     from velocycle_tpu.infer import SVI, Trace_ELBO, clipped_adam
 
@@ -121,7 +131,7 @@ def _phase_row(label, Nc, two_sample, seed):
         with_delta_nu=two_sample, use_fused_nb=True,
     )
     svi = SVI(mp.model_fn, mp.guide_fn, clipped_adam(), Trace_ELBO())
-    _bench_svi(svi, mp.data, label)
+    _bench_svi(svi, mp.data, label, chunk=chunk, reps=reps)
 
 
 def _velocity_row(label, Nc, omega_h, two_sample, seed):
@@ -249,15 +259,13 @@ def _nuts_row():
 def _smc_row():
     import jax
 
-    from velocycle_tpu import preprocess_for_phase_estimation
+    from velocycle_tpu import SMCFitModel, preprocess_for_phase_estimation
     from velocycle_tpu.core import handlers
     from velocycle_tpu.infer.smc import SMC
 
-    # Ng=20 x Nc=200: the largest config whose prior-to-posterior tempering
-    # path fits the row budget (bigger data -> posterior concentration ->
-    # stage count grows with sd of the prior-predictive loglik; Ng=50 x
-    # Nc=500 needs >400 stages at target_ess=0.5 and is not a useful
-    # benchmark unit)
+    # toy prior-tempering row (continuity with r2/r3): Ng=20 x Nc=200 is
+    # the largest config that path can reach in budget — stage count grows
+    # with the sd of the prior-predictive loglik, i.e. with Ng x Nc
     adata, cycle, phases, _ = _sim(200, 20, 1, 14)
     mp = preprocess_for_phase_estimation(
         adata, cycle, phases, n_harmonics=1, with_delta_nu=False,
@@ -281,6 +289,32 @@ def _smc_row():
         "note": f"incl. compile; {n} particles, adaptive tempering to "
                 "beta=1, 2 HMC moves/stage, Ng=20 x Nc=200 phase model, "
                 "phases conditioned",
+    })
+
+    # at-scale variational-bridge row: the config the prior path CANNOT
+    # run (>400 stages); the bridge anneals from a whitened SVI start so
+    # stage count tracks posterior non-Gaussianity, not data size
+    adata, cycle, phases, _ = _sim(500, 50, 1, 13)
+    mp = preprocess_for_phase_estimation(
+        adata, cycle, phases, n_harmonics=1, with_delta_nu=False,
+    )
+    t0 = time.perf_counter()
+    fm = SMCFitModel(
+        mp, condition_on={"phi_xy": mp.data.phixy_prior},
+        num_particles=n, num_moves=2, max_stages=60, svi_steps=800,
+    )
+    fm.run(jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    stages = len(fm.temperature_schedule)
+    _emit({
+        "row": "smc_bridged",
+        "particle_moves_per_s": round(n * stages * 2 / dt, 1),
+        "stages": int(stages),
+        "wall_s": round(dt, 1),
+        "log_evidence": round(fm.log_evidence, 1),
+        "note": f"incl. compile + 800-step SVI warm start; {n} particles, "
+                "Ng=50 x Nc=500 phase model (prior tempering needs >400 "
+                "stages here), phases conditioned",
     })
 
 
@@ -404,7 +438,13 @@ def _worker(group):
     jax.config.update("jax_compilation_cache_dir", "/tmp/velocycle_tpu_cc")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    if group == "headline":
+    if group == "warm":
+        # throwaway: wakes the relay + seeds the compile cache; its row is
+        # informational only
+        t0 = time.time()
+        _phase_row("warmup_tiny", 64, False, 3, chunk=10, reps=1)
+        _emit({"row": "warm_s", "wall_s": round(time.time() - t0, 1)})
+    elif group == "headline":
         _phase_row("phase_1s", 2000, False, 7)
     elif group == "scale":
         _scale_row()
@@ -415,6 +455,9 @@ def _worker(group):
     elif group == "parity":
         _parity_row()
     elif group == "svi5":
+        # phase_1s here again as a FALLBACK: the headline metric must not
+        # be erasable by one wedged group (r3 lost it to a timeout)
+        _phase_row("phase_1s", 2000, False, 7)
         _velocity_row("velo_const_1s", 2000, 0, False, 7)
         _velocity_row("velo_per_1s", 2000, 1, False, 7)
         _phase_row("phase_2s", 4000, True, 8)
@@ -440,12 +483,9 @@ def main():
                     pass
 
     t_start = time.monotonic()
-    for group, budget in GROUPS:
-        remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
-        budget = min(budget, remaining)
-        if budget < 30:
-            group_status[group] = "skipped (global budget exhausted)"
-            continue
+
+    def _run_group(group, budget):
+        """Run one group in a watchdogged worker; returns a status str."""
         try:
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
@@ -458,18 +498,42 @@ def main():
             t.start()
             try:
                 proc.wait(timeout=budget)
-                group_status[group] = (
-                    "ok" if proc.returncode == 0
-                    else f"exit {proc.returncode}"
-                )
+                status = ("ok" if proc.returncode == 0
+                          else f"exit {proc.returncode}")
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait()
-                group_status[group] = f"timeout after {int(budget)}s"
+                status = f"timeout after {int(budget)}s"
             t.join(timeout=10)
+            return status
         except OSError as e:
-            group_status[group] = f"spawn failed: {e}"
+            return f"spawn failed: {e}"
 
+    for group, budget in GROUPS:
+        remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
+        budget = min(budget, remaining)
+        if budget < 30:
+            group_status[group] = "skipped (global budget exhausted)"
+            continue
+        group_status[group] = _run_group(group, budget)
+
+    # one retry pass: a wedged relay often recovers between subprocesses,
+    # and the persistent compile cache makes the retry far cheaper
+    for group, budget in GROUPS:
+        if group == "warm" or group_status.get(group, "").startswith("ok"):
+            continue
+        if group_status.get(group, "").startswith("skipped"):
+            continue
+        remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
+        budget = min(budget, remaining)
+        if budget < 60:
+            continue
+        group_status[group] = (
+            f"retried ({group_status[group]}) -> " + _run_group(group, budget)
+        )
+
+    rows.pop("warmup_tiny", None)      # pre-pass rows are not results
+    rows.pop("warm_s", None)
     headline = rows.get("phase_1s", {}).get("evals_per_s", 0.0)
     for name, anchor in BASELINES.items():
         if name in rows and "evals_per_s" in rows[name]:

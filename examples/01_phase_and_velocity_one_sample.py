@@ -51,6 +51,11 @@ def main():
     cc = float(circular_corrcoef(pfit.phase_fit.phis, true_phis))
     print(f"phase fit: ELBO {pfit.losses[0]:.0f} -> {pfit.losses[-1]:.0f}, "
           f"circular corr vs truth {cc:.3f}")
+    from _figs import fig_elbo, fig_phase_scatter, fig_polar
+    fig_elbo(pfit.losses, "one_sample_elbo.png", "phase fit ELBO")
+    fig_phase_scatter(pfit.phase_fit.phis, true_phis,
+                      "one_sample_phase_scatter.png")
+    fig_polar(pfit, "one_sample_polar.png")
 
     # -- stage 2a: velocity with constant omega ---------------------------
     speed_prior = AngularSpeed.trivial_prior(

@@ -46,6 +46,11 @@ def main():
     pfit = PhaseFitModel(mp, get_posterior=False)
     pfit.fit(num_steps=sz(2000, 40), key=jax.random.PRNGKey(0))
     print(f"phase fit ELBO {pfit.losses[0]:.0f} -> {pfit.losses[-1]:.0f}")
+    from _figs import fig_elbo, fig_phase_scatter
+    fig_elbo(pfit.losses, "two_sample_elbo.png", "joint phase fit ELBO")
+    fig_phase_scatter(pfit.phase_fit.phis,
+                      adata.obs["simulated_phis"].values,
+                      "two_sample_phase_scatter.png")
 
     # velocity with one omega per condition; condition design = batches
     speed_prior = AngularSpeed.trivial_prior(

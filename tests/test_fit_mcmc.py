@@ -134,6 +134,29 @@ def test_smc_driver(mp):
     assert "phi_xy" not in sm.posterior
 
 
+def test_bridged_smc_matches_prior_tempering_logz(mp):
+    """The variational-bridge path (svi_steps>0) must estimate the SAME
+    log-evidence as classic prior-to-posterior tempering (within a couple
+    of nats of SMC noise) while using far fewer stages — it is the path
+    that scales with data size (VERDICT r3 weak #5)."""
+    cond = {"phi_xy": mp.data.phixy_prior}
+    prior_smc = SMCFitModel(mp, condition_on=cond, num_particles=256,
+                            num_moves=2, max_stages=200)
+    prior_smc.run(jax.random.PRNGKey(1))
+    bridged = SMCFitModel(mp, condition_on=cond, num_particles=256,
+                          num_moves=2, max_stages=60, svi_steps=800)
+    bridged.run(jax.random.PRNGKey(2))
+    dz = bridged.log_evidence - prior_smc.log_evidence
+    assert abs(dz) < 2.0, (bridged.log_evidence, prior_smc.log_evidence)
+    assert (len(bridged.temperature_schedule)
+            < len(prior_smc.temperature_schedule)), (
+        bridged.temperature_schedule, prior_smc.temperature_schedule)
+    # same posterior too, not just same normalizer
+    dmean = np.abs(bridged.posterior["nu"].mean(0)
+                   - prior_smc.posterior["nu"].mean(0)).max()
+    assert dmean < 0.2, dmean
+
+
 def test_smc_driver_evidence_reacts_to_data_fit(mp):
     """logZ should be much lower for a model conditioned on shuffled
     (wrong) phases than for the true ones — evidence discriminates."""

@@ -139,21 +139,35 @@ def generate(artifact, name):
     w("")
     nu = rows.get("nuts")
     if nu:
-        w(f"{nu.get('chains', '?')} chains (vmap on one chip; the pod "
-          "story shards this same axis over a mesh), phase model, "
-          "SVI-warm-started, Fisher-block-preconditioned:")
+        chains = nu.get("chains")
+        head = (f"{chains} chains" if chains else "Chain-parallel NUTS") + (
+            " (vmap on one chip; the pod story shards this same axis over "
+            "a mesh), phase model, SVI-warm-started, "
+            "Fisher-block-preconditioned:"
+        )
+        w(head)
         w("")
-        w("| samples/s | min ESS/s | median ESS/s | max split-Rhat "
-          "| accept | cold start |")
-        w("|---|---|---|---|---|---|")
-        w(f"| {fmt(nu['samples_per_s'])} "
-          f"| {fmt(nu.get('ess_per_s_min', float('nan')))} "
-          f"| {fmt(nu.get('ess_per_s_median', float('nan')))} "
-          f"| {nu.get('max_split_rhat', '—')} "
-          f"| {nu.get('accept_rate', '—')} | {fmt(nu['cold_s'])} s |")
+        cols = [
+            ("samples/s", nu.get("samples_per_s")),
+            ("min ESS/s", nu.get("ess_per_s_min")),
+            ("median ESS/s", nu.get("ess_per_s_median")),
+            ("max split-Rhat", nu.get("max_split_rhat")),
+            ("accept", nu.get("accept_rate")),
+            ("cold start", None if nu.get("cold_s") is None
+             else f"{fmt(nu['cold_s'])} s"),
+        ]
+        # omit absent fields rather than printing placeholders
+        cols = [(h, v) for h, v in cols if v is not None
+                and not (isinstance(v, float) and v != v)]
+        w("| " + " | ".join(h for h, _ in cols) + " |")
+        w("|" + "---|" * len(cols))
+        w("| " + " | ".join(fmt(v) if isinstance(v, (int, float))
+                            else str(v) for _, v in cols) + " |")
         w("")
-        w(f"({nu.get('note', '')})  The reference has no MCMC backend "
-          "at all.")
+        if nu.get("note"):
+            w(f"({nu['note']})  The reference has no MCMC backend at all.")
+        else:
+            w("The reference has no MCMC backend at all.")
     else:
         w("_Row not captured "
           f"(group status: {groups.get('nuts', 'unknown')})._")
@@ -163,7 +177,8 @@ def generate(artifact, name):
     w("")
     sm = rows.get("smc")
     if sm:
-        w(f"Adaptive tempering to beta=1 in {sm['stages']} stages, HMC "
+        w(f"Prior-to-posterior adaptive tempering to beta=1 in "
+          f"{sm['stages']} stages, HMC "
           f"rejuvenation: **{fmt(sm['particle_moves_per_s'])} "
           f"particle-moves/s** (wall {fmt(sm['wall_s'])} s incl. "
           f"compile), log-evidence {fmt(sm['log_evidence'])}. "
@@ -172,6 +187,16 @@ def generate(artifact, name):
         w("_Row not captured "
           f"(group status: {groups.get('smc', 'unknown')})._")
     w("")
+    sb = rows.get("smc_bridged")
+    if sb:
+        w(f"**Variational-bridge SMC** (anneal from a whitened SVI start "
+          f"instead of the prior — the path that scales with data size): "
+          f"beta=1 in {sb['stages']} stages at a config prior tempering "
+          f"cannot reach (>400 stages), "
+          f"**{fmt(sb['particle_moves_per_s'])} particle-moves/s** "
+          f"(wall {fmt(sb['wall_s'])} s), log-evidence "
+          f"{fmt(sb['log_evidence'])}. ({sb.get('note', '')})")
+        w("")
 
     w("## Scaling")
     w("")

@@ -306,9 +306,22 @@ class SMCFitModel(_SamplingFitModel):
     """Adaptive-tempering SMC driver with the same extraction surface,
     plus the model-evidence estimate SMC uniquely provides.
 
+    Two tempering paths:
+
+    * ``svi_steps=0`` (default): classic prior-to-posterior likelihood
+      tempering (`infer.smc.SMC`).  Exact but the stage count grows with
+      data size (posterior concentration).
+    * ``svi_steps>0``: VARIATIONAL-BRIDGE tempering
+      (`infer.smc.BridgedSMC`): a short SVI fit locates the posterior,
+      the same Fisher/Hessian preconditioner NUTS uses whitens it, and
+      particles anneal from the normalized Gaussian start N(0, I) to the
+      posterior.  Stage count depends on how non-Gaussian the posterior
+      is — NOT on Ng x Nc — so this is the path that scales.
+
     Example::
 
-        fm = SMCFitModel(mp, condition_on={...}, num_particles=512)
+        fm = SMCFitModel(mp, condition_on={...}, num_particles=512,
+                         svi_steps=1000)
         fm.run(jax.random.PRNGKey(0))
         fm.log_evidence       # log Z estimate
         fm.cycle_fit          # posterior Cycle from the particle cloud
@@ -316,20 +329,43 @@ class SMCFitModel(_SamplingFitModel):
 
     def __init__(self, metaparams, condition_on=None, num_particles=512,
                  num_moves=3, target_ess=0.5, max_stages=200,
-                 svi_steps=0, **kwargs):
-        # SMC starts from the PRIOR by design (the tempering path is the
-        # point), so no SVI warm start by default
-        super().__init__(metaparams, condition_on, svi_steps)
-        self.smc = SMC(self.model, num_particles=num_particles,
-                       num_moves=num_moves, target_ess=target_ess,
-                       max_stages=max_stages, **kwargs)
+                 svi_steps=0, block_sites=("nu",), **kwargs):
+        super().__init__(metaparams, condition_on, svi_steps, block_sites)
+        self.num_particles = num_particles
+        self.num_moves = num_moves
+        self.target_ess = target_ess
+        self.max_stages = max_stages
+        self.smc_kwargs = kwargs
+        self.smc = None
+        if not svi_steps:
+            self.smc = SMC(self.model, num_particles=num_particles,
+                           num_moves=num_moves, target_ess=target_ess,
+                           max_stages=max_stages, **kwargs)
         self.log_evidence = None
 
     def run(self, key=None, mesh=None, particle_axis="particles"):
         if key is None:
             key = jax.random.PRNGKey(0)
-        self.smc.run(key, self.metaparams.data, mesh=mesh,
-                     particle_axis=particle_axis)
+        if self.svi_steps:
+            from .infer.mcmc import block_precondition
+            from .infer.smc import BridgedSMC
+
+            k_warm, k_run = jax.random.split(key)
+            init_values, pre = self._warm_start(k_warm)
+            info = init_model(self.model, self.metaparams.data,
+                              init_values=init_values,
+                              key=jax.random.fold_in(k_warm, 11))
+            if pre:
+                info = block_precondition(info, pre)
+            self.smc = BridgedSMC(
+                info, num_particles=self.num_particles,
+                num_moves=self.num_moves, target_ess=self.target_ess,
+                max_stages=self.max_stages, **self.smc_kwargs,
+            )
+            self.smc.run(k_run, mesh=mesh, particle_axis=particle_axis)
+        else:
+            self.smc.run(key, self.metaparams.data, mesh=mesh,
+                         particle_axis=particle_axis)
         self._extract(self.smc.get_samples())
         self.log_evidence = self.smc.log_evidence()
         self.temperature_schedule = self.smc.temperature_schedule

@@ -54,6 +54,10 @@ class ModelInfo(NamedTuple):
     log_offset: float = 0.0       # constant subtracted from -potential (the
     #                               per-element baseline sum; add back when
     #                               an ABSOLUTE log density is needed)
+    log_det_scale: float = 0.0    # log |det d(original u)/d(these coords)|
+    #                               (block_precondition sets it; needed for
+    #                               absolute integrals, e.g. bridged-SMC
+    #                               log-evidence)
 
 
 def init_model(model, *args, key=None, init_strategy="prior",
@@ -224,6 +228,7 @@ def block_precondition(info: ModelInfo, blocks):
     import numpy as np_
 
     mats = {}
+    log_det_scale = 0.0
     for name, (shape, size, constraint) in info.site_meta.items():
         if name in blocks:
             if constraint.name == "circular":
@@ -236,10 +241,15 @@ def block_precondition(info: ModelInfo, blocks):
                 L = np_.linalg.cholesky(
                     b + 1e-12 * np_.eye(b.shape[-1])
                 )
+                log_det_scale += float(
+                    np_.sum(np_.log(np_.diagonal(L, axis1=-2, axis2=-1)))
+                )
                 mats[name] = ("block", jnp.asarray(L, jnp.float32))
             else:
+                d = np_.sqrt(np_.asarray(b, np_.float64)).reshape(-1)
+                log_det_scale += float(np_.sum(np_.log(d)))
                 mats[name] = (
-                    "diag", jnp.sqrt(jnp.asarray(b, jnp.float32)).reshape(-1)
+                    "diag", jnp.asarray(d, jnp.float32)
                 )
 
     def transform(v):
@@ -292,6 +302,7 @@ def block_precondition(info: ModelInfo, blocks):
         site_meta=info.site_meta,
         wrap_fn=wrap_fn if has_circ else None,
         log_offset=info.log_offset,
+        log_det_scale=info.log_det_scale + log_det_scale,
     )
 
 

@@ -337,3 +337,169 @@ class SMC:
     def temperature_schedule(self):
         b = self._betas
         return b[np.isfinite(b)]
+
+
+class BridgedSMC:
+    """Variational-bridge tempered SMC (annealed importance sampling with
+    adaptive tempering and HMC rejuvenation) on a WHITENED `ModelInfo`.
+
+    Prior-to-posterior tempering degenerates with data size: the stage
+    count grows with the sd of the prior-predictive log-likelihood, which
+    scales with Ng x Nc (the r3 bench could not run Ng=50 x Nc=500 in
+    budget; >400 stages).  This sampler instead tempers from the
+    VARIATIONAL start:
+
+        gamma_beta(v) = N(v; 0, I)^(1-beta) * exp(-pot(v))^beta
+
+    where ``pot`` is the potential of an SVI-warm-started,
+    Fisher/Hessian-whitened model (`mcmc.init_model` +
+    `mcmc.block_precondition` — the same geometry NUTS uses).  At beta=0
+    the start distribution is exact and NORMALIZED (Z_0 = 1); the number
+    of stages is set by how far the true posterior is from its Gaussian
+    approximation — independent of data size (more data usually makes the
+    posterior MORE Gaussian, so scaling IMPROVES the bridge).
+
+    log-evidence: log Z = logZ_accum + log_offset + log_det_scale, where
+    the last two undo the potential's baseline shift and the whitening
+    change of variables.  TPU-first: particles are one vmap axis, every
+    stage is fused XLA, sharding as in `SMC`.
+    """
+
+    def __init__(self, model_info, num_particles=512, num_moves=3,
+                 target_ess=0.5, hmc_step_size=0.25, hmc_leapfrog=8,
+                 max_stages=50):
+        self.info = model_info
+        self.num_particles = num_particles
+        self.num_moves = num_moves
+        self.target_ess = target_ess
+        self.hmc_step_size = hmc_step_size
+        self.hmc_leapfrog = hmc_leapfrog
+        self.max_stages = max_stages
+        self._particles = None
+        self._log_Z = None
+        self._betas = None
+
+    def run(self, key, mesh=None, particle_axis="particles"):
+        info = self.info
+        dim = info.init_u.shape[0]
+        n = self.num_particles
+        pot = info.potential_fn
+
+        k_prior, k_run = jax.random.split(key)
+        particles = jax.random.normal(k_prior, (n, dim))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            particles = jax.device_put(
+                particles, NamedSharding(mesh, P(particle_axis))
+            )
+
+        def log_ratio(v):
+            # log [exp(-pot) / N(0, I)]; the N constant matters for logZ
+            return -(pot(v)) + 0.5 * jnp.sum(v * v) + 0.5 * dim * jnp.log(
+                2.0 * jnp.pi
+            )
+
+        log_ratio_v = jax.vmap(log_ratio)
+
+        def potential_at(beta):
+            def tempered_pot(v):
+                return (1.0 - beta) * 0.5 * jnp.sum(v * v) + beta * pot(v)
+            return tempered_pot
+
+        def next_beta(beta, lr):
+            target = self.target_ess * n
+
+            def ess_at(b):
+                return _ess((b - beta) * lr)
+
+            def cond(carry):
+                lo, hi, it = carry
+                return (it < 30) & ((hi - lo) > 1e-4)
+
+            def body(carry):
+                lo, hi, it = carry
+                mid = 0.5 * (lo + hi)
+                ok = ess_at(mid) >= target
+                return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid),
+                        it + 1)
+
+            full = ess_at(1.0) >= target
+            lo, hi, _ = jax.lax.while_loop(
+                cond, body, (beta, jnp.asarray(1.0), 0)
+            )
+            return jnp.where(full, 1.0, lo)
+
+        @jax.jit
+        def stage(carry, key):
+            particles, beta, log_Z, done = carry
+            k_res, k_move = jax.random.split(key)
+            lr = log_ratio_v(particles)                       # (n,)
+            new_beta = next_beta(beta, lr)
+            delta = new_beta - beta
+            log_w = delta * lr
+            log_Z_inc = (
+                jax.scipy.special.logsumexp(log_w) - jnp.log(float(n))
+            )
+            idx = _systematic_resample(k_res, log_w, n)
+            particles = jnp.where(done, particles, particles[idx])
+
+            tpot = potential_at(new_beta)
+            inv_mass = jnp.maximum(jnp.var(particles, axis=0), 1e-6)
+
+            def move(u, k):
+                potv, g = jax.value_and_grad(tpot)(u)
+
+                def one(carry, kk):
+                    u, potv, g = carry
+                    u, _, potv, g = _hmc_step(
+                        tpot, u, kk, self.hmc_step_size, inv_mass,
+                        self.hmc_leapfrog, potv, g,
+                    )
+                    return (u, potv, g), None
+
+                (u, _, _), _ = jax.lax.scan(
+                    one, (u, potv, g), jax.random.split(k, self.num_moves)
+                )
+                return u
+
+            moved = jax.vmap(move)(particles, jax.random.split(k_move, n))
+            particles = jnp.where(done, particles, moved)
+            log_Z = jnp.where(done, log_Z, log_Z + log_Z_inc)
+            new_done = done | (new_beta >= 1.0)
+            return (
+                particles, jnp.where(done, beta, new_beta), log_Z, new_done,
+            ), jnp.where(done, jnp.nan, new_beta)
+
+        carry = (particles, jnp.asarray(0.0), jnp.asarray(0.0),
+                 jnp.asarray(False))
+        keys = jax.random.split(k_run, self.max_stages)
+
+        @jax.jit
+        def run_all(carry, keys):
+            return jax.lax.scan(stage, carry, keys)
+
+        (particles, beta, log_Z, done), betas = run_all(carry, keys)
+        if not bool(jax.device_get(done)):
+            raise RuntimeError(
+                f"bridged SMC did not reach beta=1 in {self.max_stages} "
+                f"stages (beta={float(jax.device_get(beta)):.4f}); the "
+                "variational start may be poor — more SVI steps, or "
+                "increase max_stages"
+            )
+        self._particles = particles
+        self._log_Z = float(jax.device_get(log_Z))
+        self._betas = np.asarray(jax.device_get(betas))
+        return self
+
+    def get_samples(self):
+        out = jax.vmap(self.info.unflatten)(self._particles)
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+    def log_evidence(self):
+        return self._log_Z + self.info.log_offset + self.info.log_det_scale
+
+    @property
+    def temperature_schedule(self):
+        b = self._betas
+        return b[np.isfinite(b)]
