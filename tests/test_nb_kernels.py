@@ -92,6 +92,32 @@ def test_special_lgamma_digamma_vs_scipy():
     np.testing.assert_allclose(sp, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_special_ratio_forms_vs_scipy():
+    """lgamma_ratio/digamma_ratio (the kernels' hot path: masked 8-term
+    recurrence for k < 8, Stirling difference above) vs f64 scipy, over
+    the full count x concentration range the NB models hit — including
+    the large a = 1/r regime where naive lgamma differences cancel
+    catastrophically."""
+    import scipy.special as sps
+    from velocycle_tpu.ops.special import digamma_ratio, lgamma_ratio
+
+    k = np.concatenate([np.arange(0, 12),
+                        [20, 50, 119, 500, 2000]]).astype(np.float64)
+    for a in [0.02, 0.5, 2.0, 7.9, 8.0, 8.1, 59.0, 2000.0]:
+        want_l = sps.gammaln(k + a) - sps.gammaln(a)
+        got_l = np.asarray(lgamma_ratio(
+            jnp.asarray(k, jnp.float32), jnp.float32(a)), np.float64)
+        np.testing.assert_allclose(
+            got_l, want_l, rtol=5e-6, atol=5e-6,
+            err_msg=f"lgamma_ratio at a={a}")
+        want_d = sps.digamma(k + a) - sps.digamma(a)
+        got_d = np.asarray(digamma_ratio(
+            jnp.asarray(k, jnp.float32), jnp.float32(a)), np.float64)
+        np.testing.assert_allclose(
+            got_d, want_d, rtol=5e-6, atol=5e-6,
+            err_msg=f"digamma_ratio at a={a}")
+
+
 # ---------------------------------------------------------------------------
 # delta_nu variant of the phase kernel
 # ---------------------------------------------------------------------------

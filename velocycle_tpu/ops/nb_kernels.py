@@ -9,32 +9,43 @@ log-pmf, but at Stereo-seq scale the (Ng, Nc) ElogS/ElogU intermediates are
 written to and re-read from HBM in both the forward and backward pass.
 These kernels keep them in VMEM:
 
-  * forward: one pass over a (gene-tile, cell-tile) grid — MXU matmul for
-    the tile's ElogS (and dEs/dphi for velocity), VPU log-pmf, running
-    scalar accumulation; no (Ng, Nc) array ever touches HBM except the
-    count data itself.
-  * backward (custom VJP): recompute the tile's intermediates (cheap —
-    this op is HBM-bandwidth-bound, not FLOP-bound), form d(loss)/d(Elog)
-    in-register, and accumulate the small parameter gradients.  Mosaic
-    only accumulates correctly into an output block whose grid revisits
-    are *consecutive* (verified empirically: a block indexed by a
-    non-innermost grid axis silently drops prior visits), so the backward
-    runs as TWO grid passes: gene-indexed gradients (nu, dispersion,
-    kinetics, delta_nu) with cell-tiles innermost, and cell-indexed
-    gradients (zeta, count_factor, omega) with gene-tiles innermost.  No
-    (Ng, Nc) gradient buffer exists at any point.
+  * loss-only calls run one forward pass over a (gene-tile, cell-tile)
+    grid — MXU matmul for the tile's ElogS (and dEs/dphi for velocity),
+    VPU log-pmf, running scalar accumulation; no (Ng, Nc) array ever
+    touches HBM except the count data itself.
+  * under differentiation, a SINGLE grid pass produces the loss AND every
+    parameter gradient (the gradients of a scalar-sum loss don't depend
+    on the cotangent, so the custom VJP's backward is a scalar scale of
+    residuals computed in the forward).  Gene-indexed gradients (nu,
+    dispersion, kinetics, delta_nu) accumulate in-place — Mosaic only
+    accumulates correctly into an output block whose grid revisits are
+    *consecutive* (verified empirically: a block indexed by a
+    non-innermost grid axis silently drops prior visits), and cell-tiles
+    are innermost here, so revisits are consecutive.  Cell-indexed
+    gradients (zeta, count_factor, omega) go to per-gene-tile PARTIAL
+    buffers (each output block written exactly once — no revisit rule in
+    play) and one tiny XLA reduction sums them outside.  One pass instead
+    of the previous three (forward + 2 backward) shares the count read,
+    the ElogS matmuls, and the log_b/sigmoid work between the log-pmf and
+    its gradients.
 
-Mosaic has no `lgamma`/`digamma` lowering, so the kernels use the pure
-arithmetic implementations in `ops.special` (Lanczos / asymptotic series),
-identical code between the compiled TPU kernel and the CPU interpret mode
-the test suite runs in.
+Mosaic has no `lgamma`/`digamma` lowering; the kernels use
+`ops.special.lgamma_ratio`/`digamma_ratio` — ratio forms built for the
+integer-count case: for k < 8 the lgamma/digamma DIFFERENCES are exact
+8-term masked recurrences over per-gene columns (8 masked adds per
+element), with a Stirling difference above.  ~2x cheaper than the
+Lanczos/series route and free of the large-`1/r` cancellation
+(`core/distributions.py`).  Identical code runs in the CPU interpret mode
+the test suite uses.  Measured on v5e at 2048 x 102400 (full SVI
+loss+grad step): 3-pass Lanczos 14.5 ms -> 1-pass ratio forms 6.7 ms.
 
-Padding: inputs are padded to tile multiples only when needed (a no-op for
-aligned shapes — no extra HBM copy at e.g. 2048 x 102400); validity masks
-are computed *in-kernel* from `broadcasted_iota` against the true (static)
-Ng/Nc, so no (Ng, Nc) mask array is ever materialized.  Per-cell gradient
-rows use 8-sublane accumulator blocks ((8, TILE_C), row 0 read back):
-1-sublane output blocks also miscompile under revisiting.
+Padding: inputs are padded to tile multiples only when needed (the cell
+tile shrinks to the 128-aligned data width when the data is narrower, so
+small configs never pad to the tuned cap); validity masks are computed
+*in-kernel* from `broadcasted_iota` against the true (static) Ng/Nc, so
+no (Ng, Nc) mask array is ever materialized.  Per-cell gradient rows use
+8-sublane blocks ((8, tile_c), row 0 read back): 1-sublane output blocks
+miscompile under revisiting.
 
 On non-TPU backends `pallas_call(..., interpret=True)` runs the same
 kernels through the interpreter — same math, same API.
@@ -47,10 +58,25 @@ import jax
 import jax.numpy as jnp
 
 from .likelihoods import nb_logpmf
-from .special import lgamma_pos, digamma_pos, softplus
+from .special import (
+    digamma_ratio, lgamma_pos, lgamma_ratio, softplus,
+)
 
-TILE_G = 128
-TILE_C = 1024  # tuned on v5e: 26.1 ms vs 30.5 ms at TILE_C=256 (2048x102400)
+# Default tile caps, tuned on v5e with the single-pass fwd+grad kernel at
+# 2048 x 102400 (ms/step): (128,1024) 8.6, (128,2048) 8.3, (64,2048) 7.5,
+# (64,4096) 6.7, (64,8192) 9.3; >=128x3072 fails to compile (VMEM).  The
+# velocity kernel holds both S and U tiles, so its cell tile is capped
+# lower.  Small inputs shrink the cell tile to avoid padding waste.
+TILE_G = 64
+TILE_C = 4096
+TILE_C_VELO = 2048
+
+
+def _tiles(Nc, cap=None):
+    """(gene-tile, cell-tile) for a given cell count: the tuned cap, or
+    the (128-aligned) full width when the data is narrower than it."""
+    tc = min(cap or TILE_C, _round_up(Nc, 128))
+    return TILE_G, tc
 
 __all__ = [
     "nb_loglik_fused",
@@ -119,13 +145,13 @@ def _nb_lp(k, elog, a, log_r, skip_lgamma_k=False):
 
     ``skip_lgamma_k=True`` omits the ``-lgamma(k+1)`` term — it depends
     only on the observed counts, so its (masked) sum is precomputable once
-    per dataset and added outside the kernel.  That removes one of the two
-    full-tile lgamma evaluations from the forward pass (the kernel's
-    dominant VPU cost)."""
+    per dataset and added outside the kernel.  The lgamma-RATIO form
+    (`ops.special.lgamma_ratio`) replaces two Lanczos series with 8
+    masked adds (k < 8, i.e. most count entries) or a Stirling difference
+    — the kernels are VPU-bound on exactly this function."""
     log_b = -log_r - elog
     lp = (
-        lgamma_pos(k + a)
-        - lgamma_pos(a)
+        lgamma_ratio(k, a)
         + a * log_b
         - (a + k) * softplus(log_b)
     )
@@ -134,18 +160,35 @@ def _nb_lp(k, elog, a, log_r, skip_lgamma_k=False):
     return lp
 
 
+def _nb_lp_and_grads(k, a, log_r, elog, skip_k):
+    """(log-pmf, d lp/d elog, d lp/d r) with every intermediate shared —
+    the single-pass kernels' workhorse (ratio-form special functions, see
+    `_nb_lp`)."""
+    log_b = -log_r - elog
+    sp = softplus(log_b)
+    sig = 1.0 / (1.0 + jnp.exp(-log_b))   # = b/(1+b), overflow-safe
+    lp = lgamma_ratio(k, a) + a * log_b - (a + k) * sp
+    if not skip_k:
+        lp = lp - lgamma_pos(k + 1.0)
+    g_elog = -a + (a + k) * sig
+    dlp_da = digamma_ratio(k, a) + log_b - sp
+    dlp_dlogb = a - (a + k) * sig
+    g_r = dlp_da * (-a * a) + dlp_dlogb * (-a)
+    return lp, g_elog, g_r
+
+
 def _nb_grads(k, elog, a, log_r, want_r=True):
     """(d lp/d elog, d lp/d r) of the NB log-pmf, elementwise.
 
-    ``want_r=False`` skips the dispersion gradient — it needs two digamma
-    evaluations (the most expensive VPU work in the backward), and the
-    cell-indexed backward pass doesn't use it."""
+    ``want_r=False`` skips the dispersion gradient — it needs the digamma
+    ratio (the most expensive remaining VPU work in the backward), and
+    the cell-indexed backward pass doesn't use it."""
     log_b = -log_r - elog
     sig = 1.0 / (1.0 + jnp.exp(-log_b))  # = b / (1 + b), overflow-safe
     g_elog = -a + (a + k) * sig
     if not want_r:
         return g_elog, None
-    dlp_da = digamma_pos(k + a) - digamma_pos(a) + log_b - softplus(log_b)
+    dlp_da = digamma_ratio(k, a) + log_b - softplus(log_b)
     dlp_dlogb = a - (a + k) * sig
     g_r = dlp_da * (-a * a) + dlp_dlogb * (-a)  # da/dr=-1/r^2, dlogb/dr=-1/r
     return g_elog, g_r
@@ -207,25 +250,52 @@ def _phase_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     out_ref[0, 0] += tile_sum
 
 
-def _phase_bwd_gene_kernel(Ng, Nc, has_dnu, *refs):
-    """Grid (gene, cell) — cell innermost; accumulates gene-indexed grads."""
+def _phase_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, *refs):
+    """ONE grid pass (gene-major, cell innermost) producing the loss AND
+    every parameter gradient.
+
+    The original design ran three passes (forward; gene-grad; cell-grad)
+    because Mosaic only accumulates correctly into an output block whose
+    grid revisits are consecutive — cell-indexed gradients need a
+    cell-major grid.  This kernel removes that constraint a different
+    way: cell-indexed gradients are written to PER-GENE-TILE partial
+    buffers (a unique output block per grid step, so no revisit
+    accumulation at all) and summed by one tiny XLA reduction outside.
+    One pass instead of three means one read of the count matrix, one
+    ElogS matmul, one mask, and the log_b/sigmoid work shared between
+    the log-pmf and its gradients — the op is VPU-bound on the special-
+    function series, so the sharing is the win (measured on v5e at
+    2048 x 102400 with the ratio-form specials: 9.6 ms three-pass ->
+    6.7 ms single-pass per full SVI loss+grad step)."""
     import jax.experimental.pallas as pl
 
     if has_dnu:
-        (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref, dnuT_ref, Db_ref, g_ref,
-         dnu_ref, ddisp_ref, ddnuT_ref) = refs
+        (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref, dnuT_ref, Db_ref,
+         out_ref, dnu_ref, ddisp_ref, ddnuT_ref, dzetaP_ref,
+         dcfP_ref) = refs
     else:
-        (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref, g_ref,
-         dnu_ref, ddisp_ref) = refs
+        (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref,
+         out_ref, dnu_ref, ddisp_ref, dzetaP_ref, dcfP_ref) = refs
         dnuT_ref = Db_ref = ddnuT_ref = None
 
     elog = _phase_elog(nu_ref, zeta_ref, cf_ref, dnuT_ref, Db_ref, has_dnu)
     r = disp_ref[:]
     gi, cj = pl.program_id(0), pl.program_id(1)
-    w = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape) * g_ref[0, 0]
-    g_elog, g_r = _nb_grads(S_ref[:], elog, 1.0 / r, jnp.log(r))
-    g_elog = g_elog * w
+    mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
 
+    lp, g_elog, g_r = _nb_lp_and_grads(
+        S_ref[:], 1.0 / r, jnp.log(r), elog, skip_k
+    )
+
+    @pl.when((gi == 0) & (cj == 0))
+    def _():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += jnp.sum(lp * mask)
+    g_elog = g_elog * mask
+    g_r = g_r * mask
+
+    # gene-indexed grads: consecutive cj revisits -> accumulate in place
     @pl.when(cj == 0)
     def _():
         dnu_ref[:] = jnp.zeros_like(dnu_ref)
@@ -236,48 +306,29 @@ def _phase_bwd_gene_kernel(Ng, Nc, has_dnu, *refs):
     dnu_ref[:] += jnp.dot(
         g_elog, zeta_ref[:], preferred_element_type=jnp.float32
     )
-    ddisp_ref[:] += jnp.sum(g_r * w, axis=1, keepdims=True)
+    ddisp_ref[:] += jnp.sum(g_r, axis=1, keepdims=True)
     if has_dnu:
         ddnuT_ref[:] += jnp.dot(
             g_elog, Db_ref[:].T, preferred_element_type=jnp.float32
         )
 
-
-def _phase_bwd_cell_kernel(Ng, Nc, has_dnu, *refs):
-    """Grid (cell, gene) — gene innermost; accumulates cell-indexed grads."""
-    import jax.experimental.pallas as pl
-
-    if has_dnu:
-        (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref, dnuT_ref, Db_ref, g_ref,
-         dzeta_ref, dcf_ref) = refs
-    else:
-        (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref, g_ref,
-         dzeta_ref, dcf_ref) = refs
-        dnuT_ref = Db_ref = None
-
-    elog = _phase_elog(nu_ref, zeta_ref, cf_ref, dnuT_ref, Db_ref, has_dnu)
-    r = disp_ref[:]
-    cj, gi = pl.program_id(0), pl.program_id(1)
-    w = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape) * g_ref[0, 0]
-    g_elog, _ = _nb_grads(S_ref[:], elog, 1.0 / r, jnp.log(r), want_r=False)
-    g_elog = g_elog * w
-
-    @pl.when(gi == 0)
-    def _():
-        dzeta_ref[:] = jnp.zeros_like(dzeta_ref)
-        dcf_ref[:] = jnp.zeros_like(dcf_ref)
-
-    dzeta_ref[:] += jnp.dot(
-        g_elog.T, nu_ref[:], preferred_element_type=jnp.float32
+    # cell-indexed grads: one unique partial block per (gi, cj) step.
+    # Mosaic requires output block rows in multiples of 8, so the (Nh, TC)
+    # tile is zero-padded to the block height.
+    dzp = jnp.dot(
+        nu_ref[:].T, g_elog, preferred_element_type=jnp.float32
+    )                                                    # (Nh, TILE_C)
+    pad_rows = dzetaP_ref.shape[0] - dzp.shape[0]
+    dzetaP_ref[:] = jnp.concatenate(
+        [dzp, jnp.zeros((pad_rows, dzp.shape[1]), dzp.dtype)], axis=0
     )
-    # 8-sublane accumulator; every row carries the same sum, row 0 is used
-    colsum = jnp.sum(g_elog, axis=0, keepdims=True)
-    dcf_ref[:] += jnp.broadcast_to(colsum, dcf_ref.shape)
+    colsum = jnp.sum(g_elog, axis=0, keepdims=True)      # (1, TILE_C)
+    dcfP_ref[:] = jnp.broadcast_to(colsum, dcfP_ref.shape)
 
 
-def _phase_padded(S, nu, zeta, count_factor, dispersion, delta_nu):
+def _phase_padded(S, nu, zeta, count_factor, dispersion, delta_nu, tg, tc):
     Ng, Nc = S.shape
-    Gp, Cp = _round_up(Ng, TILE_G), _round_up(Nc, TILE_C)
+    Gp, Cp = _round_up(Ng, tg), _round_up(Nc, tc)
     padded = [
         _pad_2d(S, Gp, Cp),
         _pad_rows(nu, Gp),
@@ -290,7 +341,7 @@ def _phase_padded(S, nu, zeta, count_factor, dispersion, delta_nu):
     return padded, (Ng, Nc, nu.shape[1], Gp, Cp)
 
 
-def _phase_in_specs(Nh, Nb, has_dnu, gene_major):
+def _phase_in_specs(Nh, Nb, has_dnu, gene_major, tg, tc):
     """Input block specs; gene_major selects grid=(gene,cell) vs
     (cell,gene)."""
     import jax.experimental.pallas as pl
@@ -300,16 +351,16 @@ def _phase_in_specs(Nh, Nb, has_dnu, gene_major):
     else:
         g, c = lambda j, i: i, lambda j, i: j
     specs = [
-        pl.BlockSpec((TILE_G, TILE_C), lambda *a: (g(*a), c(*a))),
-        pl.BlockSpec((TILE_G, Nh), lambda *a: (g(*a), 0)),
-        pl.BlockSpec((TILE_C, Nh), lambda *a: (c(*a), 0)),
-        pl.BlockSpec((1, TILE_C), lambda *a: (0, c(*a))),
-        pl.BlockSpec((TILE_G, 1), lambda *a: (g(*a), 0)),
+        pl.BlockSpec((tg, tc), lambda *a: (g(*a), c(*a))),
+        pl.BlockSpec((tg, Nh), lambda *a: (g(*a), 0)),
+        pl.BlockSpec((tc, Nh), lambda *a: (c(*a), 0)),
+        pl.BlockSpec((1, tc), lambda *a: (0, c(*a))),
+        pl.BlockSpec((tg, 1), lambda *a: (g(*a), 0)),
     ]
     if has_dnu:
         specs += [
-            pl.BlockSpec((TILE_G, Nb), lambda *a: (g(*a), 0)),
-            pl.BlockSpec((Nb, TILE_C), lambda *a: (0, c(*a))),
+            pl.BlockSpec((tg, Nb), lambda *a: (g(*a), 0)),
+            pl.BlockSpec((Nb, tc), lambda *a: (0, c(*a))),
         ]
     return specs
 
@@ -321,16 +372,17 @@ def _phase_fused_impl(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
 
     has_dnu = delta_nu is not None
     skip_k = lgamma_k_sum is not None
+    tg, tc = _tiles(S.shape[1])
     ops, (Ng, Nc, Nh, Gp, Cp) = _phase_padded(
-        S, nu, zeta, count_factor, dispersion, delta_nu
+        S, nu, zeta, count_factor, dispersion, delta_nu, tg, tc
     )
     Nb = delta_nu.shape[0] if has_dnu else 0
     if has_dnu:
         ops.append(_pad_2d(Db, Nb, Cp))
     out = pl.pallas_call(
         functools.partial(_phase_fwd_kernel, Ng, Nc, has_dnu, skip_k),
-        grid=(Gp // TILE_G, Cp // TILE_C),
-        in_specs=_phase_in_specs(Nh, Nb, has_dnu, gene_major=True),
+        grid=(Gp // tg, Cp // tc),
+        in_specs=_phase_in_specs(Nh, Nb, has_dnu, True, tg, tc),
         out_specs=pl.BlockSpec(
             (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
         ),
@@ -368,81 +420,93 @@ def nb_loglik_fused(S, nu, zeta, count_factor, dispersion,
     )
 
 
-def _phase_fused_fwd(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
-                     lgamma_k_sum):
-    out = _phase_fused_impl(
-        S, nu, zeta, count_factor, dispersion, delta_nu, Db, lgamma_k_sum
-    )
-    return out, (S, nu, zeta, count_factor, dispersion, delta_nu, Db)
-
-
-def _phase_fused_bwd(residuals, g):
+def _phase_fwdgrad_impl(S, nu, zeta, count_factor, dispersion, delta_nu,
+                        Db, lgamma_k_sum):
+    """Single-pass loss + all gradients (see `_phase_fwdgrad_kernel`)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    S, nu, zeta, count_factor, dispersion, delta_nu, Db = residuals
     has_dnu = delta_nu is not None
+    skip_k = lgamma_k_sum is not None
+    tg, tc = _tiles(S.shape[1])
     ops, (Ng, Nc, Nh, Gp, Cp) = _phase_padded(
-        S, nu, zeta, count_factor, dispersion, delta_nu
+        S, nu, zeta, count_factor, dispersion, delta_nu, tg, tc
     )
     Nb = delta_nu.shape[0] if has_dnu else 0
     if has_dnu:
         ops.append(_pad_2d(Db, Nb, Cp))
-    ops.append(jnp.asarray(g, jnp.float32).reshape(1, 1))
-    smem_spec = pl.BlockSpec(
-        (1, 1), lambda *a: (0, 0), memory_space=pltpu.SMEM
-    )
-    n_g, n_c = Gp // TILE_G, Cp // TILE_C
+    n_g, n_c = Gp // tg, Cp // tc
 
-    # pass 1: gene-indexed grads, cell tiles innermost
-    gene_outs = [
-        pl.BlockSpec((TILE_G, Nh), lambda i, j: (i, 0)),
-        pl.BlockSpec((TILE_G, 1), lambda i, j: (i, 0)),
+    out_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tg, Nh), lambda i, j: (i, 0)),
+        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),
     ]
-    gene_shapes = [
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
         jax.ShapeDtypeStruct((Gp, Nh), jnp.float32),
         jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
     ]
     if has_dnu:
-        gene_outs.append(pl.BlockSpec((TILE_G, Nb), lambda i, j: (i, 0)))
-        gene_shapes.append(jax.ShapeDtypeStruct((Gp, Nb), jnp.float32))
-    outs_g = pl.pallas_call(
-        functools.partial(_phase_bwd_gene_kernel, Ng, Nc, has_dnu),
+        out_specs.append(pl.BlockSpec((tg, Nb), lambda i, j: (i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((Gp, Nb), jnp.float32))
+    # per-gene-tile partial buffers for the cell-indexed grads: block
+    # (i, j) of a (n_g*NH8, Cp) / (n_g*8, Cp) array is written exactly
+    # once (Mosaic needs block heights in multiples of 8; rows Nh..NH8-1
+    # are zero padding)
+    NH8 = _round_up(Nh, 8)
+    out_specs += [
+        pl.BlockSpec((NH8, tc), lambda i, j: (i, j)),
+        pl.BlockSpec((8, tc), lambda i, j: (i, j)),
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct((n_g * NH8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((n_g * 8, Cp), jnp.float32),
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_phase_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k),
         grid=(n_g, n_c),
-        in_specs=_phase_in_specs(Nh, Nb, has_dnu, gene_major=True)
-        + [smem_spec],
-        out_specs=gene_outs,
-        out_shape=gene_shapes,
+        in_specs=_phase_in_specs(Nh, Nb, has_dnu, True, tg, tc),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=_interpret(),
     )(*ops)
+    if has_dnu:
+        out, dnu_p, ddisp_p, ddnuT_p, dzetaP, dcfP = outs
+        d_dnu = ddnuT_p[:Ng].T
+    else:
+        out, dnu_p, ddisp_p, dzetaP, dcfP = outs
+        d_dnu = None
+    total = out[0, 0]
+    if skip_k:
+        total = total - lgamma_k_sum
+    NH8 = _round_up(Nh, 8)
+    dzeta = dzetaP.reshape(n_g, NH8, Cp)[:, :Nh].sum(0).T[:Nc]
+    dcf = dcfP.reshape(n_g, 8, Cp)[:, 0, :].sum(0)[:Nc]
+    return total, (dnu_p[:Ng], dzeta, dcf, ddisp_p[:Ng, 0], d_dnu)
 
-    # pass 2: cell-indexed grads, gene tiles innermost
-    outs_c = pl.pallas_call(
-        functools.partial(_phase_bwd_cell_kernel, Ng, Nc, has_dnu),
-        grid=(n_c, n_g),
-        in_specs=_phase_in_specs(Nh, Nb, has_dnu, gene_major=False)
-        + [smem_spec],
-        out_specs=[
-            pl.BlockSpec((TILE_C, Nh), lambda j, i: (j, 0)),
-            pl.BlockSpec((8, TILE_C), lambda j, i: (0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Cp, Nh), jnp.float32),
-            jax.ShapeDtypeStruct((8, Cp), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(*ops)
 
-    dnu_p, ddisp_p = outs_g[0], outs_g[1]
-    d_dnu = outs_g[2][:Ng].T if has_dnu else None
-    dzeta_p, dcf_p = outs_c
+def _phase_fused_fwd(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
+                     lgamma_k_sum):
+    # under differentiation, compute loss AND grads in one kernel pass;
+    # gradients of a scalar-sum loss don't depend on the cotangent, so the
+    # backward is a scalar scale of the stored residuals
+    return _phase_fwdgrad_impl(
+        S, nu, zeta, count_factor, dispersion, delta_nu, Db, lgamma_k_sum
+    )
+
+
+def _phase_fused_bwd(residuals, g):
+    dnu, dzeta, dcf, ddisp, d_dnu = residuals
+    g = jnp.asarray(g, jnp.float32)
     return (
         None,
-        dnu_p[:Ng],
-        dzeta_p[:Nc],
-        dcf_p[0, :Nc],
-        ddisp_p[:Ng, 0],
-        d_dnu,
+        g * dnu,
+        g * dzeta,
+        g * dcf,
+        g * ddisp,
+        None if d_dnu is None else g * d_dnu,
         None,
         None,  # lgamma_k_sum is a dataset constant
     )
@@ -508,15 +572,26 @@ def _velo_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     out_ref[0, 0] += tile_sum
 
 
-def _velo_bwd_common(refs, has_dnu, gi, cj, Ng, Nc, want_r=True):
-    """Recompute intermediates and elementwise gradients for one tile."""
+def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, *refs):
+    """ONE grid pass (gene-major) producing loss + every gradient — the
+    velocity-stage twin of `_phase_fwdgrad_kernel` (see its docstring for
+    the design: gene-indexed grads accumulate over consecutive cell-tile
+    revisits; cell-indexed grads go to per-gene-tile partial buffers)."""
+    import jax.experimental.pallas as pl
+
+    n_outs = 10 if has_dnu else 9
+    ins, outs = refs[:-n_outs], refs[-n_outs:]
     if has_dnu:
         (S_ref, U_ref, nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref,
-         lbeta_ref, lgamma_ref, disp_ref, dnuT_ref, Db_ref, g_ref) = refs
+         lbeta_ref, lgamma_ref, disp_ref, dnuT_ref, Db_ref) = ins
+        (out_ref, dnu_ref, dlbeta_ref, dlgamma_ref, ddisp_ref, ddnuT_ref,
+         dzetaP_ref, dzdphiP_ref, dcfP_ref, domegaP_ref) = outs
     else:
         (S_ref, U_ref, nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref,
-         lbeta_ref, lgamma_ref, disp_ref, g_ref) = refs
-        dnuT_ref = Db_ref = None
+         lbeta_ref, lgamma_ref, disp_ref) = ins
+        (out_ref, dnu_ref, dlbeta_ref, dlgamma_ref, ddisp_ref,
+         dzetaP_ref, dzdphiP_ref, dcfP_ref, domegaP_ref) = outs
+        dnuT_ref = Db_ref = ddnuT_ref = None
 
     elogS, elogU, dEs, gamma, x, xr = _velo_elogs(
         nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref, lbeta_ref,
@@ -524,34 +599,23 @@ def _velo_bwd_common(refs, has_dnu, gi, cj, Ng, Nc, want_r=True):
     )
     r = disp_ref[:]
     a, log_r = 1.0 / r, jnp.log(r)
-    w = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape) * g_ref[0, 0]
+    gi, cj = pl.program_id(0), pl.program_id(1)
+    mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
 
-    gS, g_rS = _nb_grads(S_ref[:], elogS, a, log_r, want_r)
-    gU, g_rU = _nb_grads(U_ref[:], elogU, a, log_r, want_r)
-    gS, gU = gS * w, gU * w
-    g_r = (g_rS + g_rU) * w if want_r else None
+    lpS, gS, g_rS = _nb_lp_and_grads(S_ref[:], a, log_r, elogS, skip_k)
+    lpU, gU, g_rU = _nb_lp_and_grads(U_ref[:], a, log_r, elogU, skip_k)
+
+    @pl.when((gi == 0) & (cj == 0))
+    def _():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += jnp.sum((lpS + lpU) * mask)
+
+    gS, gU = gS * mask, gU * mask
+    g_r = (g_rS + g_rU) * mask
     g_elogS = gS + gU                                   # ElogU includes ElogS
     g_x = gU * jnp.where(x > 0.0, 1.0 / xr, 0.0)        # relu + log chain
-    return dict(
-        nu_ref=nu_ref, zeta_ref=zeta_ref, zdphi_ref=zdphi_ref,
-        omega_ref=omega_ref, Db_ref=Db_ref, gamma=gamma, dEs=dEs,
-        gS=gS, gU=gU, g_r=g_r, g_elogS=g_elogS, g_x=g_x,
-    )
-
-
-def _velo_bwd_gene_kernel(Ng, Nc, has_dnu, *refs):
-    """Grid (gene, cell): dnu, dlog_beta, dlog_gamma, ddisp, ddnuT."""
-    import jax.experimental.pallas as pl
-
-    n_outs = 5 if has_dnu else 4
-    ins, outs = refs[:-n_outs], refs[-n_outs:]
-    if has_dnu:
-        dnu_ref, dlbeta_ref, dlgamma_ref, ddisp_ref, ddnuT_ref = outs
-    else:
-        dnu_ref, dlbeta_ref, dlgamma_ref, ddisp_ref = outs
-        ddnuT_ref = None
-    gi, cj = pl.program_id(0), pl.program_id(1)
-    v = _velo_bwd_common(ins, has_dnu, gi, cj, Ng, Nc)
+    g_x_om = g_x * omega_ref[:]
 
     @pl.when(cj == 0)
     def _():
@@ -562,55 +626,39 @@ def _velo_bwd_gene_kernel(Ng, Nc, has_dnu, *refs):
         if has_dnu:
             ddnuT_ref[:] = jnp.zeros_like(ddnuT_ref)
 
-    g_x_om = v["g_x"] * v["omega_ref"][:]
     dnu_ref[:] += jnp.dot(
-        v["g_elogS"], v["zeta_ref"][:], preferred_element_type=jnp.float32
+        g_elogS, zeta_ref[:], preferred_element_type=jnp.float32
     ) + jnp.dot(
-        g_x_om, v["zdphi_ref"][:], preferred_element_type=jnp.float32
+        g_x_om, zdphi_ref[:], preferred_element_type=jnp.float32
     )
-    dlbeta_ref[:] += jnp.sum(-v["gU"], axis=1, keepdims=True)
-    dlgamma_ref[:] += jnp.sum(v["g_x"], axis=1, keepdims=True) * v["gamma"]
-    ddisp_ref[:] += jnp.sum(v["g_r"], axis=1, keepdims=True)
+    dlbeta_ref[:] += jnp.sum(-gU, axis=1, keepdims=True)
+    dlgamma_ref[:] += jnp.sum(g_x, axis=1, keepdims=True) * gamma
+    ddisp_ref[:] += jnp.sum(g_r, axis=1, keepdims=True)
     if has_dnu:
         ddnuT_ref[:] += jnp.dot(
-            v["g_elogS"], v["Db_ref"][:].T,
-            preferred_element_type=jnp.float32,
+            g_elogS, Db_ref[:].T, preferred_element_type=jnp.float32
         )
 
+    def _pad_block(t, ref):
+        z = jnp.zeros((ref.shape[0] - t.shape[0], t.shape[1]), t.dtype)
+        return jnp.concatenate([t, z], axis=0)
 
-def _velo_bwd_cell_kernel(Ng, Nc, has_dnu, *refs):
-    """Grid (cell, gene): dzeta, dzeta_dphi, dcf, domega."""
-    import jax.experimental.pallas as pl
-
-    ins, outs = refs[:-4], refs[-4:]
-    dzeta_ref, dzdphi_ref, dcf_ref, domega_ref = outs
-    cj, gi = pl.program_id(0), pl.program_id(1)
-    v = _velo_bwd_common(ins, has_dnu, gi, cj, Ng, Nc, want_r=False)
-
-    @pl.when(gi == 0)
-    def _():
-        dzeta_ref[:] = jnp.zeros_like(dzeta_ref)
-        dzdphi_ref[:] = jnp.zeros_like(dzdphi_ref)
-        dcf_ref[:] = jnp.zeros_like(dcf_ref)
-        domega_ref[:] = jnp.zeros_like(domega_ref)
-
-    g_x_om = v["g_x"] * v["omega_ref"][:]
-    dzeta_ref[:] += jnp.dot(
-        v["g_elogS"].T, v["nu_ref"][:], preferred_element_type=jnp.float32
-    )
-    dzdphi_ref[:] += jnp.dot(
-        g_x_om.T, v["nu_ref"][:], preferred_element_type=jnp.float32
-    )
-    cf_sum = jnp.sum(v["g_elogS"], axis=0, keepdims=True)
-    dcf_ref[:] += jnp.broadcast_to(cf_sum, dcf_ref.shape)
-    om_sum = jnp.sum(v["g_x"] * v["dEs"], axis=0, keepdims=True)
-    domega_ref[:] += jnp.broadcast_to(om_sum, domega_ref.shape)
+    dzetaP_ref[:] = _pad_block(jnp.dot(
+        nu_ref[:].T, g_elogS, preferred_element_type=jnp.float32
+    ), dzetaP_ref)
+    dzdphiP_ref[:] = _pad_block(jnp.dot(
+        nu_ref[:].T, g_x_om, preferred_element_type=jnp.float32
+    ), dzdphiP_ref)
+    cf_sum = jnp.sum(g_elogS, axis=0, keepdims=True)
+    dcfP_ref[:] = jnp.broadcast_to(cf_sum, dcfP_ref.shape)
+    om_sum = jnp.sum(g_x * dEs, axis=0, keepdims=True)
+    domegaP_ref[:] = jnp.broadcast_to(om_sum, domegaP_ref.shape)
 
 
 def _velo_padded(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
-                 log_gamma, dispersion, delta_nu, Db):
+                 log_gamma, dispersion, delta_nu, Db, tg, tc):
     Ng, Nc = S.shape
-    Gp, Cp = _round_up(Ng, TILE_G), _round_up(Nc, TILE_C)
+    Gp, Cp = _round_up(Ng, tg), _round_up(Nc, tc)
     padded = [
         _pad_2d(S, Gp, Cp),
         _pad_2d(U, Gp, Cp),
@@ -628,7 +676,7 @@ def _velo_padded(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
     return padded, (Ng, Nc, nu.shape[1], Gp, Cp)
 
 
-def _velo_in_specs(Nh, Nb, has_dnu, gene_major):
+def _velo_in_specs(Nh, Nb, has_dnu, gene_major, tg, tc):
     import jax.experimental.pallas as pl
 
     if gene_major:
@@ -636,21 +684,21 @@ def _velo_in_specs(Nh, Nb, has_dnu, gene_major):
     else:
         g, c = lambda j, i: i, lambda j, i: j
     specs = [
-        pl.BlockSpec((TILE_G, TILE_C), lambda *a: (g(*a), c(*a))),  # S
-        pl.BlockSpec((TILE_G, TILE_C), lambda *a: (g(*a), c(*a))),  # U
-        pl.BlockSpec((TILE_G, Nh), lambda *a: (g(*a), 0)),          # nu
-        pl.BlockSpec((TILE_C, Nh), lambda *a: (c(*a), 0)),          # zeta
-        pl.BlockSpec((TILE_C, Nh), lambda *a: (c(*a), 0)),          # zdphi
-        pl.BlockSpec((1, TILE_C), lambda *a: (0, c(*a))),           # cf
-        pl.BlockSpec((1, TILE_C), lambda *a: (0, c(*a))),           # omega
-        pl.BlockSpec((TILE_G, 1), lambda *a: (g(*a), 0)),           # lbeta
-        pl.BlockSpec((TILE_G, 1), lambda *a: (g(*a), 0)),           # lgamma
-        pl.BlockSpec((TILE_G, 1), lambda *a: (g(*a), 0)),           # disp
+        pl.BlockSpec((tg, tc), lambda *a: (g(*a), c(*a))),  # S
+        pl.BlockSpec((tg, tc), lambda *a: (g(*a), c(*a))),  # U
+        pl.BlockSpec((tg, Nh), lambda *a: (g(*a), 0)),          # nu
+        pl.BlockSpec((tc, Nh), lambda *a: (c(*a), 0)),          # zeta
+        pl.BlockSpec((tc, Nh), lambda *a: (c(*a), 0)),          # zdphi
+        pl.BlockSpec((1, tc), lambda *a: (0, c(*a))),           # cf
+        pl.BlockSpec((1, tc), lambda *a: (0, c(*a))),           # omega
+        pl.BlockSpec((tg, 1), lambda *a: (g(*a), 0)),           # lbeta
+        pl.BlockSpec((tg, 1), lambda *a: (g(*a), 0)),           # lgamma
+        pl.BlockSpec((tg, 1), lambda *a: (g(*a), 0)),           # disp
     ]
     if has_dnu:
         specs += [
-            pl.BlockSpec((TILE_G, Nb), lambda *a: (g(*a), 0)),
-            pl.BlockSpec((Nb, TILE_C), lambda *a: (0, c(*a))),
+            pl.BlockSpec((tg, Nb), lambda *a: (g(*a), 0)),
+            pl.BlockSpec((Nb, tc), lambda *a: (0, c(*a))),
         ]
     return specs
 
@@ -663,15 +711,16 @@ def _velo_fused_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
 
     has_dnu = delta_nu is not None
     skip_k = lgamma_k_sum is not None
+    tg, tc = _tiles(S.shape[1], cap=TILE_C_VELO)
     ops, (Ng, Nc, Nh, Gp, Cp) = _velo_padded(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-        dispersion, delta_nu, Db
+        dispersion, delta_nu, Db, tg, tc
     )
     Nb = delta_nu.shape[0] if has_dnu else 0
     out = pl.pallas_call(
         functools.partial(_velo_fwd_kernel, Ng, Nc, has_dnu, skip_k),
-        grid=(Gp // TILE_G, Cp // TILE_C),
-        in_specs=_velo_in_specs(Nh, Nb, has_dnu, gene_major=True),
+        grid=(Gp // tg, Cp // tc),
+        in_specs=_velo_in_specs(Nh, Nb, has_dnu, True, tg, tc),
         out_specs=pl.BlockSpec(
             (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
         ),
@@ -702,94 +751,108 @@ def nbsu_loglik_fused(S, U, nu, zeta, zeta_dphi, count_factor, omega,
     )
 
 
-def _velo_fused_fwd(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
-                    log_gamma, dispersion, delta_nu, Db, lgamma_k_sum):
-    out = _velo_fused_impl(
-        S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-        dispersion, delta_nu, Db, lgamma_k_sum
-    )
-    return out, (S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
-                 log_gamma, dispersion, delta_nu, Db)
-
-
-def _velo_fused_bwd(residuals, g):
+def _velo_fwdgrad_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
+                       log_beta, log_gamma, dispersion, delta_nu, Db,
+                       lgamma_k_sum):
+    """Single-pass loss + all gradients (see `_velo_fwdgrad_kernel`)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    (S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-     dispersion, delta_nu, Db) = residuals
     has_dnu = delta_nu is not None
+    skip_k = lgamma_k_sum is not None
+    tg, tc = _tiles(S.shape[1], cap=TILE_C_VELO)
     ops, (Ng, Nc, Nh, Gp, Cp) = _velo_padded(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-        dispersion, delta_nu, Db
+        dispersion, delta_nu, Db, tg, tc
     )
     Nb = delta_nu.shape[0] if has_dnu else 0
-    ops.append(jnp.asarray(g, jnp.float32).reshape(1, 1))
-    smem_spec = pl.BlockSpec(
-        (1, 1), lambda *a: (0, 0), memory_space=pltpu.SMEM
-    )
-    n_g, n_c = Gp // TILE_G, Cp // TILE_C
+    n_g, n_c = Gp // tg, Cp // tc
+    NH8 = _round_up(Nh, 8)
 
-    gene_outs = [
-        pl.BlockSpec((TILE_G, Nh), lambda i, j: (i, 0)),   # dnu
-        pl.BlockSpec((TILE_G, 1), lambda i, j: (i, 0)),    # dlog_beta
-        pl.BlockSpec((TILE_G, 1), lambda i, j: (i, 0)),    # dlog_gamma
-        pl.BlockSpec((TILE_G, 1), lambda i, j: (i, 0)),    # ddisp
+    out_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tg, Nh), lambda i, j: (i, 0)),   # dnu
+        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),    # dlog_beta
+        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),    # dlog_gamma
+        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),    # ddisp
     ]
-    gene_shapes = [
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
         jax.ShapeDtypeStruct((Gp, Nh), jnp.float32),
         jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
         jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
         jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
     ]
     if has_dnu:
-        gene_outs.append(pl.BlockSpec((TILE_G, Nb), lambda i, j: (i, 0)))
-        gene_shapes.append(jax.ShapeDtypeStruct((Gp, Nb), jnp.float32))
-    outs_g = pl.pallas_call(
-        functools.partial(_velo_bwd_gene_kernel, Ng, Nc, has_dnu),
+        out_specs.append(pl.BlockSpec((tg, Nb), lambda i, j: (i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((Gp, Nb), jnp.float32))
+    out_specs += [
+        pl.BlockSpec((NH8, tc), lambda i, j: (i, j)),  # dzeta partials
+        pl.BlockSpec((NH8, tc), lambda i, j: (i, j)),  # dzdphi partials
+        pl.BlockSpec((8, tc), lambda i, j: (i, j)),    # dcf partials
+        pl.BlockSpec((8, tc), lambda i, j: (i, j)),    # domega partials
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct((n_g * NH8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((n_g * NH8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((n_g * 8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((n_g * 8, Cp), jnp.float32),
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_velo_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k),
         grid=(n_g, n_c),
-        in_specs=_velo_in_specs(Nh, Nb, has_dnu, gene_major=True)
-        + [smem_spec],
-        out_specs=gene_outs,
-        out_shape=gene_shapes,
+        in_specs=_velo_in_specs(Nh, Nb, has_dnu, True, tg, tc),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=_interpret(),
     )(*ops)
+    if has_dnu:
+        (out, dnu_p, dlbeta_p, dlgamma_p, ddisp_p, ddnuT_p, dzetaP,
+         dzdphiP, dcfP, domegaP) = outs
+        d_dnu = ddnuT_p[:Ng].T
+    else:
+        (out, dnu_p, dlbeta_p, dlgamma_p, ddisp_p, dzetaP, dzdphiP,
+         dcfP, domegaP) = outs
+        d_dnu = None
+    total = out[0, 0]
+    if skip_k:
+        total = total - lgamma_k_sum
+    dzeta = dzetaP.reshape(n_g, NH8, Cp)[:, :Nh].sum(0).T[:Nc]
+    dzdphi = dzdphiP.reshape(n_g, NH8, Cp)[:, :Nh].sum(0).T[:Nc]
+    dcf = dcfP.reshape(n_g, 8, Cp)[:, 0, :].sum(0)[:Nc]
+    domega = domegaP.reshape(n_g, 8, Cp)[:, 0, :].sum(0)[:Nc]
+    return total, (dnu_p[:Ng], dzeta, dzdphi, dcf, domega,
+                   dlbeta_p[:Ng, 0], dlgamma_p[:Ng, 0], ddisp_p[:Ng, 0],
+                   d_dnu)
 
-    outs_c = pl.pallas_call(
-        functools.partial(_velo_bwd_cell_kernel, Ng, Nc, has_dnu),
-        grid=(n_c, n_g),
-        in_specs=_velo_in_specs(Nh, Nb, has_dnu, gene_major=False)
-        + [smem_spec],
-        out_specs=[
-            pl.BlockSpec((TILE_C, Nh), lambda j, i: (j, 0)),
-            pl.BlockSpec((TILE_C, Nh), lambda j, i: (j, 0)),
-            pl.BlockSpec((8, TILE_C), lambda j, i: (0, j)),
-            pl.BlockSpec((8, TILE_C), lambda j, i: (0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Cp, Nh), jnp.float32),
-            jax.ShapeDtypeStruct((Cp, Nh), jnp.float32),
-            jax.ShapeDtypeStruct((8, Cp), jnp.float32),
-            jax.ShapeDtypeStruct((8, Cp), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(*ops)
 
-    dnu, dlbeta, dlgamma, ddisp = outs_g[:4]
-    d_dnu = outs_g[4][:Ng].T if has_dnu else None
-    dzeta, dzdphi, dcf, domega = outs_c
+def _velo_fused_fwd(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
+                    log_gamma, dispersion, delta_nu, Db, lgamma_k_sum):
+    # one kernel pass for loss + grads; backward is a scalar scale (the
+    # gradients of a scalar-sum loss don't depend on the cotangent)
+    return _velo_fwdgrad_impl(
+        S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
+        dispersion, delta_nu, Db, lgamma_k_sum
+    )
+
+
+def _velo_fused_bwd(residuals, g):
+    (dnu, dzeta, dzdphi, dcf, domega, dlbeta, dlgamma, ddisp,
+     d_dnu) = residuals
+    g = jnp.asarray(g, jnp.float32)
     return (
         None,
         None,
-        dnu[:Ng],
-        dzeta[:Nc],
-        dzdphi[:Nc],
-        dcf[0, :Nc],
-        domega[0, :Nc],
-        dlbeta[:Ng, 0],
-        dlgamma[:Ng, 0],
-        ddisp[:Ng, 0],
-        d_dnu,
+        g * dnu,
+        g * dzeta,
+        g * dzdphi,
+        g * dcf,
+        g * domega,
+        g * dlbeta,
+        g * dlgamma,
+        g * ddisp,
+        None if d_dnu is None else g * d_dnu,
         None,
         None,  # lgamma_k_sum is a dataset constant
     )
