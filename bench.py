@@ -60,7 +60,7 @@ GROUPS = [
     ("warm", 150),
     ("headline", 420),
     ("scale", 600),
-    ("smc", 300),
+    ("smc", 420),
     ("nuts", 420),
     ("parity", 300),
     ("svi5", 420),
@@ -515,7 +515,12 @@ def main():
         if budget < 30:
             group_status[group] = "skipped (global budget exhausted)"
             continue
-        group_status[group] = _run_group(group, budget)
+        status = _run_group(group, budget)
+        if group == "warm":
+            # the pre-pass is sacrificial: it exists to absorb relay
+            # cold-start, and hitting its budget is expected, not failure
+            status = f"pre-pass done ({status})"
+        group_status[group] = status
 
     # one retry pass: a wedged relay often recovers between subprocesses,
     # and the persistent compile cache makes the retry far cheaper
