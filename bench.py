@@ -350,7 +350,13 @@ def _scale_row():
     """Stereo-seq-class phase fit: 2048 genes x 102400 cells, fused Pallas
     kernel first (the headline), then the identical config on the plain XLA
     path — the measured kernel-vs-XLA delta at the scale the kernel exists
-    for (no (Ng, Nc) HBM intermediates)."""
+    for (no (Ng, Nc) HBM intermediates).  Then the VELOCITY kernel at the
+    same element count (1024 x 51200 with both S and U matrices)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
     from velocycle_tpu.models import phase as phase_mod
     from velocycle_tpu.infer import SVI, Trace_ELBO, clipped_adam
 
@@ -370,6 +376,54 @@ def _scale_row():
     except Exception as e:  # plain path may OOM at this scale — that IS
         _emit({"row": "phase_scale_xla",          # the kernel's point
                "error": f"{type(e).__name__}: {str(e)[:200]}"})
+
+    # velocity (S+U) kernel at the same element count
+    from jax.scipy.special import gammaln
+
+    from velocycle_tpu.ops import nb_kernels as K
+
+    Ng, Nc, Nh = 1024, 51200, 5
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
+    S = jnp.floor(jnp.exp(jax.random.normal(ks[0], (Ng, Nc)) * 0.8 + 1.0))
+    U = jnp.floor(jnp.exp(jax.random.normal(ks[1], (Ng, Nc)) * 0.8 + 0.4))
+    nu0 = jax.random.normal(ks[2], (Ng, Nh)) * 0.5
+    ang = jax.random.uniform(ks[3], (Nc,)) * 6.28
+    zeta = jnp.stack([jnp.ones_like(ang), jnp.cos(ang), jnp.sin(ang),
+                      jnp.cos(2 * ang), jnp.sin(2 * ang)], -1)
+    zdphi = jnp.stack([jnp.zeros_like(ang), -jnp.sin(ang), jnp.cos(ang),
+                       -2 * jnp.sin(2 * ang), 2 * jnp.cos(2 * ang)], -1)
+    cf = jax.random.normal(ks[4], (Nc,)) * 0.2
+    disp = jnp.exp(jax.random.normal(ks[5], (Ng,)) * 0.3)
+    om = jnp.exp(jax.random.normal(ks[6], (Nc,)) * 0.2 - 1.0)
+    lb = jax.random.normal(ks[7], (Ng,)) * 0.2
+    lg = jax.random.normal(ks[8], (Ng,)) * 0.2
+    lgk = jax.jit(lambda s, u: gammaln(s + 1.0).sum()
+                  + gammaln(u + 1.0).sum())(S, U)
+    n_it = 50
+
+    @jax.jit
+    def loop(nu, S, U, lgk):
+        def body(nu, _):
+            loss, g = jax.value_and_grad(lambda nu: K.nbsu_loglik_fused(
+                S, U, nu, zeta, zdphi, cf, om, lb, lg, disp,
+                lgamma_k_sum=lgk))(nu)
+            return nu - 1e-12 * g, loss
+
+        nu, losses = jax.lax.scan(body, nu, None, length=n_it)
+        return losses[-1]
+
+    jax.device_get(loop(nu0, S, U, lgk))
+    t0 = _t.perf_counter()
+    jax.device_get(loop(nu0, S, U, lgk))
+    dt = (_t.perf_counter() - t0) / n_it
+    _emit({
+        "row": "velo_scale",
+        "steps_per_s": round(1.0 / dt, 1),
+        "ms_per_step": round(dt * 1000, 2),
+        "Ng": Ng, "Nc": Nc,
+        "note": "fused velocity (S+U) kernel loss+grad, same element "
+                "count as phase_scale",
+    })
 
 
 def _parity_row():

@@ -111,6 +111,13 @@ def generate(artifact, name):
     else:
         w("_Row not captured in this artifact "
           f"(group status: {groups.get('scale', 'unknown')})._")
+    vs = rows.get("velo_scale")
+    if vs:
+        w("")
+        w(f"The velocity-stage kernel (S **and** U matrices, kinetic "
+          f"coupling) at the same element count ({vs.get('Ng')} x "
+          f"{fmt(vs.get('Nc'), 0)}): **{fmt(vs['steps_per_s'])} "
+          f"loss+gradient steps/s** ({fmt(vs['ms_per_step'], 2)} ms).")
     w("")
 
     w("## Fused-kernel parity (on-chip)")

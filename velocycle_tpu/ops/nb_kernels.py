@@ -64,18 +64,27 @@ from .special import (
 
 # Default tile caps, tuned on v5e with the single-pass fwd+grad kernel at
 # 2048 x 102400 (ms/step): (128,1024) 8.6, (128,2048) 8.3, (64,2048) 7.5,
-# (64,4096) 6.7, (64,8192) 9.3; >=128x3072 fails to compile (VMEM).  The
-# velocity kernel holds both S and U tiles, so its cell tile is capped
-# lower.  Small inputs shrink the cell tile to avoid padding waste.
+# (64,4096) 6.7, (64,8192) 9.3 (the kernel is VPU-bound; tiles past the
+# pipelining optimum only add pressure).  Both fwd+grad calls raise
+# Mosaic's scoped-VMEM limit from its conservative 16M default — the
+# tuned tiles exceed it by ~1% at large grids.  The velocity kernel holds
+# both S and U tiles, so its cell tile cap is half the phase kernel's
+# (measured 3.8 ms/step at 1024 x 51200 S+U).  Small inputs split the
+# cell axis into equal 128-aligned tiles under the cap (minimal pad).
 TILE_G = 64
 TILE_C = 4096
 TILE_C_VELO = 2048
 
 
 def _tiles(Nc, cap=None):
-    """(gene-tile, cell-tile) for a given cell count: the tuned cap, or
-    the (128-aligned) full width when the data is narrower than it."""
-    tc = min(cap or TILE_C, _round_up(Nc, 128))
+    """(gene-tile, cell-tile) for a given cell count: the largest
+    128-aligned tile under the tuned cap that divides the cells into
+    equal-size tiles — minimal padding at every data width (e.g.
+    Nc=2000 under a 1536 cap gives two 1024-tiles, not a 1536-tile plus
+    a 67%-padding straggler)."""
+    cap = cap or TILE_C
+    n = _cdiv(Nc, cap)
+    tc = _round_up(_cdiv(Nc, n), 128)
     return TILE_G, tc
 
 __all__ = [
@@ -470,6 +479,9 @@ def _phase_fwdgrad_impl(S, nu, zeta, count_factor, dispersion, delta_nu,
         in_specs=_phase_in_specs(Nh, Nb, has_dnu, True, tg, tc),
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(*ops)
     if has_dnu:
@@ -805,6 +817,11 @@ def _velo_fwdgrad_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
         in_specs=_velo_in_specs(Nh, Nb, has_dnu, True, tg, tc),
         out_specs=out_specs,
         out_shape=out_shapes,
+        # the S+U working set at the tuned tile exceeds Mosaic's
+        # conservative 16M scoped-VMEM default by ~1% at large grids
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(*ops)
     if has_dnu:
