@@ -40,3 +40,27 @@ def test_produce_half_skips_cleanly_without_pyro(capsys):
 def test_posterior_moments_match_reference():
     metrics = gold.compare(verbose=False)
     assert metrics["phi_circ_corr"] > gold.PHI_CIRC_CORR_MIN
+
+
+VELOCITY_ARTIFACT = os.path.join(
+    REPO, "tests", "golden", "reference_velocity_fit.npz"
+)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(VELOCITY_ARTIFACT),
+    reason="no velocity reference artifact committed "
+           "(`python tools/reference_torch_fit.py velocity`)",
+)
+def test_velocity_posterior_moments_match_reference():
+    """BASELINE acceptance: posterior moments of the ANGULAR VELOCITY
+    stage (log_gamma / log_beta / nu_omega means + sds) vs the reference
+    velocity model + mean-field guide replicated site-for-site in raw
+    torch f64 (`tools/reference_torch_fit.py:fit_torch_velocity`,
+    mirroring `/root/reference/velocycle/velocity_inference_model.py:
+    304-388` + `velocity_inference_guide.py:9-63`), conditioned on the
+    phase-stage golden fit exactly as the tutorials' two-stage workflow
+    conditions stage 2 on stage-1 point estimates."""
+    metrics = gold.compare_velocity(verbose=False)
+    assert metrics["log_gamma_corr"] > gold.LOG_GAMMA_CORR_MIN

@@ -38,6 +38,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_LIB = "/root/reference/build/lib"
 ARTIFACT = os.path.join(REPO, "tests", "golden", "reference_phase_fit.npz")
+VELOCITY_ARTIFACT = os.path.join(
+    REPO, "tests", "golden", "reference_velocity_fit.npz"
+)
 sys.path.insert(0, REPO)
 
 # Small but informative config: big enough that posterior moments are tight,
@@ -50,6 +53,20 @@ NUM_STEPS = 3000
 PHI_CIRC_CORR_MIN = 0.97     # posterior-mean phases, circular corr
 NU_RMSE_MAX = 0.15           # posterior-mean harmonics, RMSE (prior sd 0.5)
 NU_SD_RATIO_TOL = 0.5        # posterior sds agree within 50% in the median
+
+# -- velocity stage (BASELINE: "angular velocity" posterior) ----------------
+# Same dataset; the two-stage workflow conditions the velocity model on the
+# PHASE-STAGE golden artifact (nu, phi_xy, shape_inv), mirroring the
+# tutorials' conditioning dict (reference tutorial cell 39).  Free sites:
+# log_gamma, log_beta, nu_omega (mean-field guide,
+# `velocity_inference_guide.py:9-63`).
+VELO_NUM_STEPS = 6000
+OMEGA_HARMONICS = 1                         # periodic omega, Nhw = 3
+LOG_GAMMA_CORR_MIN = 0.95    # per-gene degradation rates, Pearson corr
+LOG_GAMMA_RMSE_MAX = 0.15    # posterior means (prior sd 0.5)
+LOG_BETA_RMSE_MAX = 0.25     # posterior means (prior sd 3.0)
+NU_OMEGA_ABS_MAX = 0.05      # angular-speed coefficients, abs diff
+VELO_SD_RATIO_TOL = 0.5      # posterior sds agree within 50% in the median
 
 
 def make_dataset():
@@ -156,6 +173,115 @@ def run_jax_fit():
     }
 
 
+def velocity_conditioning():
+    """Stage-2 conditioning values from the committed PHASE artifact —
+    identical for both halves (the tutorials condition stage 2 on stage-1
+    point estimates; here the shared point estimates are the golden phase
+    fit itself, so the velocity comparison is independent of which runtime
+    produced them)."""
+    ref = np.load(ARTIFACT)
+    phi = np.asarray(ref["phi_mean_angle"], np.float64)
+    phi_xy = 2.0 * np.stack([np.cos(phi), np.sin(phi)], axis=-1)  # (Nc, 2)
+    return {
+        "nu": np.asarray(ref["nu_mean"], np.float64),             # (Ng, Nh)
+        "phi_xy": phi_xy,
+        "shape_inv": np.asarray(ref["shape_inv_mean"], np.float64),
+    }
+
+
+def make_velocity_metapars():
+    """Shared `Metapars` for the velocity stage (both halves read the same
+    arrays out of it)."""
+    from velocycle_tpu import (
+        AngularSpeed, Cycle, Phases, preprocess_for_velocity_estimation,
+    )
+
+    adata = make_dataset()
+    nu_means, nu_stds, _ = _priors(adata)
+    cond = velocity_conditioning()
+    cycle = Cycle.from_array(nu_means, nu_stds, list(adata.var.index))
+    phases = Phases.from_angles(
+        np.arctan2(cond["phi_xy"][:, 1], cond["phi_xy"][:, 0]),
+        concentration=2.0, cell_names=list(adata.obs.index),
+    )
+    speed = AngularSpeed.trivial_prior(
+        ["c0"], harmonics=OMEGA_HARMONICS, means=0.2, stds=0.5
+    )
+    mp = preprocess_for_velocity_estimation(
+        adata, cycle, phases, speed, n_harmonics=HARMONICS,
+        omega_n_harmonics=OMEGA_HARMONICS, with_delta_nu=False,
+        model_type="fourier",
+    )
+    return mp, cond
+
+
+def run_jax_velocity_fit():
+    import jax
+
+    from velocycle_tpu import VelocityFitModel
+
+    mp, cond = make_velocity_metapars()
+    fit = VelocityFitModel(
+        mp,
+        condition_on={
+            "nu": cond["nu"].astype(np.float32),
+            "phi_xy": cond["phi_xy"].astype(np.float32),
+            "shape_inv": cond["shape_inv"].astype(np.float32),
+        },
+        num_samples=200, n_per_bin=100,
+    )
+    fit.fit(num_steps=VELO_NUM_STEPS, key=jax.random.PRNGKey(0))
+    p = fit.params
+    return {
+        "log_gamma_mean": np.asarray(p["log_gamma_locs"]),
+        "log_gamma_sd": np.asarray(p["log_gamma_scales"]),
+        "log_beta_mean": np.asarray(p["log_beta_locs"]),
+        "log_beta_sd": np.asarray(p["log_beta_scales"]),
+        "nu_omega_mean": np.asarray(p["nu_omega_locs"]).reshape(-1),
+        "nu_omega_sd": np.asarray(p["nu_omega_scales"]).reshape(-1),
+    }
+
+
+def compare_velocity(jax_moments=None, verbose=True):
+    """Velocity-stage golden comparison: posterior moments of log_gamma,
+    log_beta and nu_omega vs the committed torch-f64 reference artifact."""
+    ref = np.load(VELOCITY_ARTIFACT)
+    want = [NC, NG, SEED, HARMONICS, OMEGA_HARMONICS, VELO_NUM_STEPS]
+    assert list(ref["config"]) == want, (
+        f"artifact built for config {list(ref['config'])}, "
+        f"harness is {want} — re-produce it")
+    ours = jax_moments if jax_moments is not None else run_jax_velocity_fit()
+
+    lg_corr = float(np.corrcoef(
+        ours["log_gamma_mean"], ref["log_gamma_mean"])[0, 1])
+    lg_rmse = float(np.sqrt(np.mean(
+        (ours["log_gamma_mean"] - ref["log_gamma_mean"]) ** 2)))
+    lb_rmse = float(np.sqrt(np.mean(
+        (ours["log_beta_mean"] - ref["log_beta_mean"]) ** 2)))
+    nw_abs = float(np.max(np.abs(
+        ours["nu_omega_mean"] - ref["nu_omega_mean"])))
+    sd_ratios = np.concatenate([
+        ours["log_gamma_sd"] / np.maximum(ref["log_gamma_sd"], 1e-9),
+        ours["log_beta_sd"] / np.maximum(ref["log_beta_sd"], 1e-9),
+        ours["nu_omega_sd"] / np.maximum(ref["nu_omega_sd"], 1e-9),
+    ])
+    sd_ratio = float(np.median(sd_ratios))
+    metrics = {
+        "log_gamma_corr": lg_corr, "log_gamma_rmse": lg_rmse,
+        "log_beta_rmse": lb_rmse, "nu_omega_max_abs_diff": nw_abs,
+        "sd_median_ratio": sd_ratio,
+    }
+    if verbose:
+        for k, v in metrics.items():
+            print(f"  {k}: {v:.4f}")
+    assert lg_corr > LOG_GAMMA_CORR_MIN, metrics
+    assert lg_rmse < LOG_GAMMA_RMSE_MAX, metrics
+    assert lb_rmse < LOG_BETA_RMSE_MAX, metrics
+    assert nw_abs < NU_OMEGA_ABS_MAX, metrics
+    assert abs(np.log(sd_ratio)) < np.log(1 + VELO_SD_RATIO_TOL), metrics
+    return metrics
+
+
 def compare(jax_moments=None, verbose=True):
     """Compare the JAX fit against the committed reference artifact.
 
@@ -194,10 +320,16 @@ def main(argv):
     if mode in ("compare", "both"):
         if os.path.exists(ARTIFACT):
             compare()
-            print("golden comparison PASSED")
+            print("phase golden comparison PASSED")
         else:
             print(f"SKIP compare: no artifact at {ARTIFACT} "
                   "(produce it in a pyro environment first)")
+        if os.path.exists(VELOCITY_ARTIFACT):
+            compare_velocity()
+            print("velocity golden comparison PASSED")
+        else:
+            print(f"SKIP compare: no artifact at {VELOCITY_ARTIFACT} "
+                  "(python tools/reference_torch_fit.py velocity)")
 
 
 if __name__ == "__main__":

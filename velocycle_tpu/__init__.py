@@ -13,10 +13,11 @@ from . import core, infer, models, ops, parallel, twodim  # noqa: F401
 from . import containers, genes, preprocessing, simulate  # noqa: F401
 from . import alignment, checkpoint, plots, profiling  # noqa: F401
 from .alignment import invert_direction, shift_zero  # noqa: F401
-from .anndata_lite import AnnDataLite  # noqa: F401
+from .anndata_lite import AnnDataLite, read_h5ad, write_h5ad  # noqa: F401
 from .containers import AngularSpeed, Cycle, Phases  # noqa: F401
 from .fit import PhaseFitModel, VelocityFitModel  # noqa: F401
 from .fit_mcmc import MCMCFitModel, SMCFitModel  # noqa: F401
+from .warmup import enable_compile_cache, warmup  # noqa: F401
 from .preprocessing import (  # noqa: F401
     filter_shared_genes,
     make_design_matrix,

@@ -355,8 +355,13 @@ class SMCFitModel(_SamplingFitModel):
             info = init_model(self.model, self.metaparams.data,
                               init_values=init_values,
                               key=jax.random.fold_in(k_warm, 11))
-            if pre:
-                info = block_precondition(info, pre)
+            # Always recenter, even with an empty preconditioner (possible
+            # when dim > hessian_dim_cap and the guide exposes no
+            # *_scales): block_precondition's transform applies the
+            # +init_u offset, so the N(0, I) bridge start sits at the SVI
+            # mode instead of the origin of raw unconstrained coordinates
+            # (where the bridge would exhaust max_stages).
+            info = block_precondition(info, pre or {})
             self.smc = BridgedSMC(
                 info, num_particles=self.num_particles,
                 num_moves=self.num_moves, target_ess=self.target_ess,

@@ -88,6 +88,13 @@ def init_model(model, *args, key=None, init_strategy="prior",
     O(1e2) and the noise drops ~2 orders of magnitude.  TPU-first: this
     is how you get f64-grade MCMC acceptance arithmetic out of an
     f32-only accelerator.
+
+    MEMORY COST: the baseline is a full (site-shaped) float32 array per
+    observed site, captured in the potential closure — for an (Ng, Nc)
+    count model this roughly doubles the count matrix's HBM residency
+    (e.g. ~840 MB extra at Stereo-seq scale 2048 x 102,400).  At that
+    scale pass ``subtract_baseline=False`` (and accept the f32 noise, or
+    condition the large plates) if HBM is the binding constraint.
     """
     if key is None:
         key = jax.random.PRNGKey(0)

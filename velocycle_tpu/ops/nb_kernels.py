@@ -409,8 +409,16 @@ def nb_loglik_fused(S, nu, zeta, count_factor, dispersion,
                     delta_nu=None, Db=None, lgamma_k_sum=None):
     """Fused ``sum NB_logpmf(S | nu @ zeta^T [+ dnu offsets] + cf, r)``.
 
+    INTEGER-COUNT REQUIREMENT: the kernel's lgamma/digamma ratio forms
+    (`ops/special.lgamma_ratio`) evaluate ``lgamma(k+a)-lgamma(a)`` as a
+    masked sum of ``log(a+j)`` for k < 8 — exact ONLY for integer-valued
+    ``S`` (raw counts, possibly stored as float).  A normalized or
+    smoothed layer with fractional values silently yields wrong
+    log-probs and gradients; use the plain-XLA path
+    (``use_fused_nb=False``) for non-integer data.
+
     Args:
-      S: counts (Ng, Nc).
+      S: counts (Ng, Nc), integer-valued (see above).
       nu: harmonic coefficients (Ng, Nh).
       zeta: basis at cell phases (Nc, Nh).
       count_factor: per-cell size factor (Nc,).
@@ -756,6 +764,9 @@ def nbsu_loglik_fused(S, U, nu, zeta, zeta_dphi, count_factor, omega,
     dispersion and delta_nu.  S, U, Db are data.  ``lgamma_k_sum``:
     optional precomputed ``sum(lgamma(S+1)) + sum(lgamma(U+1))`` dataset
     constant, removing two full-tile lgammas from the forward kernel.
+
+    ``S`` and ``U`` must be integer-valued (raw counts): the ratio-form
+    specials are exact only for integer k — see `nb_loglik_fused`.
     """
     return _velo_fused_impl(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
