@@ -243,3 +243,81 @@ def test_lgamma_k_sum_shortcut_matches():
     full = float(nbsu_loglik_fused(*vargs))
     short = float(nbsu_loglik_fused(*vargs, lgamma_k_sum=const))
     assert abs(full - short) / abs(full) < 1e-5
+
+
+def test_int16_counts_match_float32():
+    """Counts stored as int16 (half the HBM stream) must give identical
+    results — the kernels upcast per tile in VMEM."""
+    S, nu, zeta, cf, r = _inputs(Ng=40, Nc=200, seed=11)
+    S16 = jnp.asarray(np.asarray(S), jnp.int16)
+    f = lambda S_: nb_loglik_fused(S_, nu, zeta, cf, r)
+    assert float(f(S16)) == float(f(S))
+    g32 = jax.grad(lambda n: nb_loglik_fused(S, n, zeta, cf, r))(nu)
+    g16 = jax.grad(lambda n: nb_loglik_fused(S16, n, zeta, cf, r))(nu)
+    np.testing.assert_array_equal(np.asarray(g16), np.asarray(g32))
+
+
+def test_velocity_int16_counts_match_float32():
+    from velocycle_tpu.ops.nb_kernels import nbsu_loglik_fused
+
+    rng = np.random.default_rng(5)
+    Ng, Nc, Nh = 24, 150, 3
+    S = rng.poisson(3, (Ng, Nc)).astype(np.float32)
+    U = rng.poisson(2, (Ng, Nc)).astype(np.float32)
+    nu = jnp.asarray(rng.normal(0.5, 0.4, (Ng, Nh)), jnp.float32)
+    zeta = jnp.asarray(rng.normal(0, 0.7, (Nc, Nh)), jnp.float32)
+    zdphi = jnp.asarray(rng.normal(0, 0.7, (Nc, Nh)), jnp.float32)
+    cf = jnp.asarray(rng.normal(0, 0.2, Nc), jnp.float32)
+    om = jnp.asarray(np.abs(rng.normal(0.4, 0.1, Nc)), jnp.float32)
+    lb = jnp.asarray(rng.normal(1.0, 0.3, Ng), jnp.float32)
+    lg = jnp.asarray(rng.normal(0.0, 0.3, Ng), jnp.float32)
+    r = jnp.asarray(np.abs(rng.normal(0.5, 0.2, Ng)) + 0.05, jnp.float32)
+
+    f32 = float(nbsu_loglik_fused(
+        jnp.asarray(S), jnp.asarray(U), nu, zeta, zdphi, cf, om, lb, lg, r
+    ))
+    i16 = float(nbsu_loglik_fused(
+        jnp.asarray(S, jnp.int16), jnp.asarray(U, jnp.int16),
+        nu, zeta, zdphi, cf, om, lb, lg, r
+    ))
+    assert f32 == i16
+
+
+def test_fused_lgamma_digamma_ratio_vs_scipy():
+    """The fused threshold-4 ratio pair must match scipy to f32 accuracy
+    for integer k (the kernels' contract) across small and large counts
+    and small/large per-gene a."""
+    import scipy.special as ss
+
+    from velocycle_tpu.ops.special import lgamma_digamma_ratio
+
+    k = np.array([0, 1, 2, 3, 4, 5, 7, 8, 20, 200, 5000],
+                 np.float32)[None, :]
+    a = np.array([0.05, 0.3, 1.0, 4.0, 50.0, 2000.0],
+                 np.float32)[:, None]
+    lgr, dgr = lgamma_digamma_ratio(jnp.asarray(np.broadcast_to(
+        k, (a.shape[0], k.shape[1]))), jnp.asarray(a))
+    k64 = k.astype(np.float64)       # scipy ufuncs compute in the input
+    a64 = a.astype(np.float64)       # dtype — force f64 references
+    want_l = ss.gammaln(k64 + a64) - ss.gammaln(a64)
+    want_d = ss.digamma(k64 + a64) - ss.digamma(a64)
+    np.testing.assert_allclose(np.asarray(lgr), want_l,
+                               rtol=3e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dgr), want_d,
+                               rtol=3e-6, atol=1e-5)
+
+
+def test_softplus_sigmoid_shared():
+    from velocycle_tpu.ops.special import softplus_sigmoid
+
+    x = jnp.asarray(np.linspace(-40, 40, 401), jnp.float32)
+    sp, sig = softplus_sigmoid(x)
+    np.testing.assert_allclose(
+        np.asarray(sp), np.logaddexp(0.0, np.asarray(x, np.float64)),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sig),
+        1.0 / (1.0 + np.exp(-np.asarray(x, np.float64))),
+        rtol=1e-6, atol=1e-7,
+    )

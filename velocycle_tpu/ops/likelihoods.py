@@ -37,7 +37,11 @@ def nb_logpmf(k, elog_mu, dispersion):
       lgamma(k+a) - lgamma(a)    -> Stirling log1p expansion for a >= 8
       a*log b - (a+k)*log1p(b)   -> -a*softplus(s) - k*softplus(-s),
                                     s = elog_mu + log(r)  (so e^s = r*mu)
+
+    ``k`` may arrive as an integer array (int16/int8 count storage halves
+    the HBM stream of the fused kernels); upcast once here.
     """
+    k = jnp.asarray(k, jnp.float32)
     a = 1.0 / dispersion
     s = elog_mu + jnp.log(dispersion)
     direct = jsp.gammaln(k + a) - jsp.gammaln(a)

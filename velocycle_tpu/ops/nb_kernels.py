@@ -16,28 +16,35 @@ These kernels keep them in VMEM:
   * under differentiation, a SINGLE grid pass produces the loss AND every
     parameter gradient (the gradients of a scalar-sum loss don't depend
     on the cotangent, so the custom VJP's backward is a scalar scale of
-    residuals computed in the forward).  Gene-indexed gradients (nu,
-    dispersion, kinetics, delta_nu) accumulate in-place — Mosaic only
-    accumulates correctly into an output block whose grid revisits are
-    *consecutive* (verified empirically: a block indexed by a
-    non-innermost grid axis silently drops prior visits), and cell-tiles
-    are innermost here, so revisits are consecutive.  Cell-indexed
-    gradients (zeta, count_factor, omega) go to per-gene-tile PARTIAL
-    buffers (each output block written exactly once — no revisit rule in
-    play) and one tiny XLA reduction sums them outside.  One pass instead
-    of the previous three (forward + 2 backward) shares the count read,
-    the ElogS matmuls, and the log_b/sigmoid work between the log-pmf and
-    its gradients.
+    residuals computed in the forward).  The grid is CELL-major (cell
+    tiles outer, gene tiles inner): Mosaic only accumulates correctly
+    into an output block whose grid revisits are *consecutive* (verified
+    empirically: a block indexed by a non-innermost grid axis silently
+    drops prior visits), so the big cell-indexed gradients (zeta,
+    count_factor, omega) — whose revisits are the consecutive inner gene
+    sweeps — accumulate in place in VMEM-resident blocks, while the small
+    gene-indexed gradients (nu, dispersion, kinetics, delta_nu) go to
+    per-cell-tile PARTIAL blocks (KBs) reduced by one tiny XLA sum
+    outside.  The r4 gene-major layout put the partial buffers on the
+    CELL-indexed side — two ~105 MB HBM round-trips per step at
+    Stereo-seq scale, which dominated everything (6.7 -> 5.3 ms/step
+    from this flip plus the fused specials below).
 
-Mosaic has no `lgamma`/`digamma` lowering; the kernels use
-`ops.special.lgamma_ratio`/`digamma_ratio` — ratio forms built for the
-integer-count case: for k < 8 the lgamma/digamma DIFFERENCES are exact
-8-term masked recurrences over per-gene columns (8 masked adds per
-element), with a Stirling difference above.  ~2x cheaper than the
-Lanczos/series route and free of the large-`1/r` cancellation
-(`core/distributions.py`).  Identical code runs in the CPU interpret mode
-the test suite uses.  Measured on v5e at 2048 x 102400 (full SVI
-loss+grad step): 3-pass Lanczos 14.5 ms -> 1-pass ratio forms 6.7 ms.
+Mosaic has no `lgamma`/`digamma` lowering; the kernels use ratio forms
+built for the integer-count case (`ops.special`): the fwd+grad path
+evaluates lgamma AND digamma differences in one fused call
+(`lgamma_digamma_ratio`: exact 2-term masked recurrences for k < 2,
+shared-intermediate Stirling differences above, the per-element divide
+and the log(k+a) folded away), and softplus/sigmoid of the shared NB
+argument share one exp (`softplus_sigmoid`).  Cheaper than and free of
+the large-`1/r` cancellation of the Lanczos/series route
+(`core/distributions.py`).  Identical code runs in the CPU interpret
+mode the test suite uses.  Measured on v5e at 2048 x 102400 (full SVI
+loss+grad step): 3-pass Lanczos 14.5 ms -> r4 1-pass 6.7 ms -> r5
+cell-major + fused specials 5.3 ms.  The kernel is VPU-bound — the
+count-matrix HBM stream (2.1 ms f32) fully overlaps with compute, and
+counts may be stored int16 (half the stream, same speed, half the HBM
+residency; `preprocessing._compact_counts`).
 
 Padding: inputs are padded to tile multiples only when needed (the cell
 tile shrinks to the 128-aligned data width when the data is narrower, so
@@ -59,33 +66,37 @@ import jax.numpy as jnp
 
 from .likelihoods import nb_logpmf
 from .special import (
-    digamma_ratio, lgamma_pos, lgamma_ratio, softplus,
+    lgamma_digamma_ratio, lgamma_pos, lgamma_ratio, softplus,
+    softplus_sigmoid,
 )
 
-# Default tile caps, tuned on v5e with the single-pass fwd+grad kernel at
-# 2048 x 102400 (ms/step): (128,1024) 8.6, (128,2048) 8.3, (64,2048) 7.5,
-# (64,4096) 6.7, (64,8192) 9.3 (the kernel is VPU-bound; tiles past the
-# pipelining optimum only add pressure).  Both fwd+grad calls raise
-# Mosaic's scoped-VMEM limit from its conservative 16M default — the
-# tuned tiles exceed it by ~1% at large grids.  The velocity kernel holds
-# both S and U tiles, so its cell tile cap is half the phase kernel's
-# (measured 3.8 ms/step at 1024 x 51200 S+U).  Small inputs split the
-# cell axis into equal 128-aligned tiles under the cap (minimal pad).
-TILE_G = 64
+# Default tile caps, tuned on v5e with the r5 cell-major single-pass
+# fwd+grad kernel at 2048 x 102400 (ms/step, f32 counts): (64,2048) 6.5,
+# (64,4096) 5.5, (64,8192) 8.7, (128,2048) 5.7, (128,4096) **5.31**,
+# (128,8192) 7.4, (256,4096) 5.5.  The kernel is VPU-bound (the count
+# stream fully overlaps: a variant with no count input at all runs at
+# the same speed) — wider cell tiles only add VMEM pressure.  Both
+# fwd+grad calls raise Mosaic's scoped-VMEM limit (64M; the 16M default
+# rejects the tuned tiles).  The velocity kernel holds both S and U
+# tiles, so its cell tile cap is half the phase kernel's.  Small inputs
+# split both axes into equal aligned tiles under the caps (minimal pad).
+TILE_G = 128
 TILE_C = 4096
 TILE_C_VELO = 2048
 
 
-def _tiles(Nc, cap=None):
-    """(gene-tile, cell-tile) for a given cell count: the largest
-    128-aligned tile under the tuned cap that divides the cells into
-    equal-size tiles — minimal padding at every data width (e.g.
-    Nc=2000 under a 1536 cap gives two 1024-tiles, not a 1536-tile plus
-    a 67%-padding straggler)."""
+def _tiles(Ng, Nc, cap=None):
+    """(gene-tile, cell-tile): the largest aligned tiles under the tuned
+    caps that split each axis into equal-size tiles — minimal padding at
+    every data width (e.g. Nc=2000 under a 1536 cap gives two 1024-tiles,
+    not a 1536-tile plus a 67%-padding straggler; Ng=300 gives three
+    104-row tiles, not two 128s and a 44-row straggler's padding)."""
     cap = cap or TILE_C
     n = _cdiv(Nc, cap)
     tc = _round_up(_cdiv(Nc, n), 128)
-    return TILE_G, tc
+    m = _cdiv(Ng, TILE_G)
+    tg = _round_up(_cdiv(Ng, m), 8)
+    return tg, tc
 
 __all__ = [
     "nb_loglik_fused",
@@ -171,18 +182,24 @@ def _nb_lp(k, elog, a, log_r, skip_lgamma_k=False):
 
 def _nb_lp_and_grads(k, a, log_r, elog, skip_k):
     """(log-pmf, d lp/d elog, d lp/d r) with every intermediate shared —
-    the single-pass kernels' workhorse (ratio-form special functions, see
-    `_nb_lp`)."""
+    the single-pass kernels' workhorse.  The lgamma and digamma ratio
+    differences come from ONE fused evaluation
+    (`ops.special.lgamma_digamma_ratio`: shared small-k masks, shared
+    Stirling log1p/reciprocal chain, threshold 4), and softplus/sigmoid
+    of the shared ``log_b`` argument share one exp
+    (`ops.special.softplus_sigmoid`) — together ~25% less VPU work per
+    element than the r4 standalone forms."""
     log_b = -log_r - elog
-    sp = softplus(log_b)
-    sig = 1.0 / (1.0 + jnp.exp(-log_b))   # = b/(1+b), overflow-safe
-    lp = lgamma_ratio(k, a) + a * log_b - (a + k) * sp
+    sp, sig = softplus_sigmoid(log_b)     # sig = b/(1+b), overflow-safe
+    lgr, dgr = lgamma_digamma_ratio(k, a)
+    a_k = a + k
+    lp = lgr + a * log_b - a_k * sp
     if not skip_k:
         lp = lp - lgamma_pos(k + 1.0)
-    g_elog = -a + (a + k) * sig
-    dlp_da = digamma_ratio(k, a) + log_b - sp
-    dlp_dlogb = a - (a + k) * sig
-    g_r = dlp_da * (-a * a) + dlp_dlogb * (-a)
+    g_sig = a_k * sig
+    g_elog = g_sig - a
+    dlp_da = dgr + log_b - sp
+    g_r = (dlp_da * (-a) + (g_sig - a)) * a  # dlp_dlogb = a - a_k*sig
     return lp, g_elog, g_r
 
 
@@ -236,7 +253,7 @@ def _phase_elog(nu_ref, zeta_ref, cf_ref, dnuT_ref, Db_ref, has_dnu):
     return elog
 
 
-def _phase_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
+def _phase_fwd_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     import jax.experimental.pallas as pl
 
     if has_dnu:
@@ -248,9 +265,12 @@ def _phase_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
 
     elog = _phase_elog(nu_ref, zeta_ref, cf_ref, dnuT_ref, Db_ref, has_dnu)
     r = disp_ref[:]
-    lp = _nb_lp(S_ref[:], elog, 1.0 / r, jnp.log(r), skip_lgamma_k=skip_k)
+    k = S_ref[:].astype(jnp.float32)   # counts may be stored int16/int8
+    lp = _nb_lp(k, elog, 1.0 / r, jnp.log(r), skip_lgamma_k=skip_k)
     gi, cj = pl.program_id(0), pl.program_id(1)
-    tile_sum = jnp.sum(lp * _tile_mask(gi, cj, Ng, Nc, *S_ref.shape))
+    if needs_mask:   # static: only when Ng/Nc don't divide the tiles
+        lp = lp * _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
+    tile_sum = jnp.sum(lp)
 
     @pl.when((gi == 0) & (cj == 0))
     def _():
@@ -259,80 +279,80 @@ def _phase_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     out_ref[0, 0] += tile_sum
 
 
-def _phase_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, *refs):
-    """ONE grid pass (gene-major, cell innermost) producing the loss AND
-    every parameter gradient.
+def _phase_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
+    """ONE grid pass (CELL-major: cell tiles outer, gene tiles inner)
+    producing the loss AND every parameter gradient.
 
-    The original design ran three passes (forward; gene-grad; cell-grad)
-    because Mosaic only accumulates correctly into an output block whose
-    grid revisits are consecutive — cell-indexed gradients need a
-    cell-major grid.  This kernel removes that constraint a different
-    way: cell-indexed gradients are written to PER-GENE-TILE partial
-    buffers (a unique output block per grid step, so no revisit
-    accumulation at all) and summed by one tiny XLA reduction outside.
-    One pass instead of three means one read of the count matrix, one
-    ElogS matmul, one mask, and the log_b/sigmoid work shared between
-    the log-pmf and its gradients — the op is VPU-bound on the special-
-    function series, so the sharing is the win (measured on v5e at
-    2048 x 102400 with the ratio-form specials: 9.6 ms three-pass ->
-    6.7 ms single-pass per full SVI loss+grad step)."""
+    Grid order is the whole game.  Mosaic only accumulates correctly into
+    an output block whose grid revisits are consecutive; the r4 design
+    ran gene-major and routed the cell-indexed gradients (dzeta, dcf) to
+    per-GENE-TILE partial buffers — (n_gene_tiles * 8, Nc) arrays, two
+    ~105 MB HBM writes + re-reads + an XLA reduction per step at
+    Stereo-seq scale, which dominated the step (measured: the identical
+    math minus those buffers runs 1.2 ms vs 6.1 ms).  Cell-major flips
+    the roles: the big CELL-indexed gradients get consecutive inner
+    revisits — they accumulate in place in VMEM-resident (8, tile_c)
+    blocks, written to HBM once — while the partial buffers fall on the
+    small GENE-indexed gradients ((n_cell_tiles * Gp, Nh) ~ 50 KB), whose
+    outside reduction is trivial.  Input streaming also improves: the
+    count tile stream is unchanged, but the per-outer-step resident block
+    is now the small nu tile instead of the big zeta tile."""
     import jax.experimental.pallas as pl
 
     if has_dnu:
         (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref, dnuT_ref, Db_ref,
-         out_ref, dnu_ref, ddisp_ref, ddnuT_ref, dzetaP_ref,
-         dcfP_ref) = refs
+         out_ref, dnuP_ref, ddispP_ref, ddnuTP_ref, dzeta_ref,
+         dcf_ref) = refs
     else:
         (S_ref, nu_ref, zeta_ref, cf_ref, disp_ref,
-         out_ref, dnu_ref, ddisp_ref, dzetaP_ref, dcfP_ref) = refs
-        dnuT_ref = Db_ref = ddnuT_ref = None
+         out_ref, dnuP_ref, ddispP_ref, dzeta_ref, dcf_ref) = refs
+        dnuT_ref = Db_ref = ddnuTP_ref = None
 
     elog = _phase_elog(nu_ref, zeta_ref, cf_ref, dnuT_ref, Db_ref, has_dnu)
     r = disp_ref[:]
-    gi, cj = pl.program_id(0), pl.program_id(1)
-    mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
+    cj, gi = pl.program_id(0), pl.program_id(1)
+    k = S_ref[:].astype(jnp.float32)   # counts may be stored int16/int8
 
     lp, g_elog, g_r = _nb_lp_and_grads(
-        S_ref[:], 1.0 / r, jnp.log(r), elog, skip_k
+        k, 1.0 / r, jnp.log(r), elog, skip_k
     )
+    if needs_mask:   # static: only when Ng/Nc don't divide the tiles
+        mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
+        lp = lp * mask
+        g_elog = g_elog * mask
+        g_r = g_r * mask
 
     @pl.when((gi == 0) & (cj == 0))
     def _():
         out_ref[0, 0] = 0.0
 
-    out_ref[0, 0] += jnp.sum(lp * mask)
-    g_elog = g_elog * mask
-    g_r = g_r * mask
+    out_ref[0, 0] += jnp.sum(lp)
 
-    # gene-indexed grads: consecutive cj revisits -> accumulate in place
-    @pl.when(cj == 0)
-    def _():
-        dnu_ref[:] = jnp.zeros_like(dnu_ref)
-        ddisp_ref[:] = jnp.zeros_like(ddisp_ref)
-        if has_dnu:
-            ddnuT_ref[:] = jnp.zeros_like(ddnuT_ref)
-
-    dnu_ref[:] += jnp.dot(
+    # gene-indexed grads: one unique (small) partial block per grid step
+    dnuP_ref[:] = jnp.dot(
         g_elog, zeta_ref[:], preferred_element_type=jnp.float32
     )
-    ddisp_ref[:] += jnp.sum(g_r, axis=1, keepdims=True)
+    ddispP_ref[:] = jnp.sum(g_r, axis=1, keepdims=True)
     if has_dnu:
-        ddnuT_ref[:] += jnp.dot(
+        ddnuTP_ref[:] = jnp.dot(
             g_elog, Db_ref[:].T, preferred_element_type=jnp.float32
         )
 
-    # cell-indexed grads: one unique partial block per (gi, cj) step.
-    # Mosaic requires output block rows in multiples of 8, so the (Nh, TC)
-    # tile is zero-padded to the block height.
+    # cell-indexed grads: consecutive gi revisits -> accumulate in place
+    @pl.when(gi == 0)
+    def _():
+        dzeta_ref[:] = jnp.zeros_like(dzeta_ref)
+        dcf_ref[:] = jnp.zeros_like(dcf_ref)
+
     dzp = jnp.dot(
         nu_ref[:].T, g_elog, preferred_element_type=jnp.float32
     )                                                    # (Nh, TILE_C)
-    pad_rows = dzetaP_ref.shape[0] - dzp.shape[0]
-    dzetaP_ref[:] = jnp.concatenate(
+    pad_rows = dzeta_ref.shape[0] - dzp.shape[0]
+    dzeta_ref[:] += jnp.concatenate(
         [dzp, jnp.zeros((pad_rows, dzp.shape[1]), dzp.dtype)], axis=0
     )
     colsum = jnp.sum(g_elog, axis=0, keepdims=True)      # (1, TILE_C)
-    dcfP_ref[:] = jnp.broadcast_to(colsum, dcfP_ref.shape)
+    dcf_ref[:] += jnp.broadcast_to(colsum, dcf_ref.shape)
 
 
 def _phase_padded(S, nu, zeta, count_factor, dispersion, delta_nu, tg, tc):
@@ -381,15 +401,18 @@ def _phase_fused_impl(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
 
     has_dnu = delta_nu is not None
     skip_k = lgamma_k_sum is not None
-    tg, tc = _tiles(S.shape[1])
+    tg, tc = _tiles(S.shape[0], S.shape[1])
     ops, (Ng, Nc, Nh, Gp, Cp) = _phase_padded(
         S, nu, zeta, count_factor, dispersion, delta_nu, tg, tc
     )
     Nb = delta_nu.shape[0] if has_dnu else 0
     if has_dnu:
         ops.append(_pad_2d(Db, Nb, Cp))
+    needs_mask = (Gp != Ng) or (Cp != Nc)
     out = pl.pallas_call(
-        functools.partial(_phase_fwd_kernel, Ng, Nc, has_dnu, skip_k),
+        functools.partial(
+            _phase_fwd_kernel, Ng, Nc, has_dnu, skip_k, needs_mask
+        ),
         grid=(Gp // tg, Cp // tc),
         in_specs=_phase_in_specs(Nh, Nb, has_dnu, True, tg, tc),
         out_specs=pl.BlockSpec(
@@ -445,7 +468,7 @@ def _phase_fwdgrad_impl(S, nu, zeta, count_factor, dispersion, delta_nu,
 
     has_dnu = delta_nu is not None
     skip_k = lgamma_k_sum is not None
-    tg, tc = _tiles(S.shape[1])
+    tg, tc = _tiles(S.shape[0], S.shape[1])
     ops, (Ng, Nc, Nh, Gp, Cp) = _phase_padded(
         S, nu, zeta, count_factor, dispersion, delta_nu, tg, tc
     )
@@ -453,58 +476,65 @@ def _phase_fwdgrad_impl(S, nu, zeta, count_factor, dispersion, delta_nu,
     if has_dnu:
         ops.append(_pad_2d(Db, Nb, Cp))
     n_g, n_c = Gp // tg, Cp // tc
+    NH8 = _round_up(Nh, 8)
 
+    # CELL-major grid (cell tiles outer, gene tiles inner): the big
+    # cell-indexed gradients accumulate in place over consecutive inner
+    # revisits (one (NH8, Cp) + one (8, Cp) array total); the small
+    # gene-indexed gradients go to per-cell-tile partial blocks
+    # ((n_c * Gp, Nh) etc. — KBs) reduced outside.
     out_specs = [
-        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((tg, Nh), lambda i, j: (i, 0)),
-        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tg, Nh), lambda j, i: (j * n_g + i, 0)),
+        pl.BlockSpec((tg, 1), lambda j, i: (j * n_g + i, 0)),
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Gp, Nh), jnp.float32),
-        jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_c * Gp, Nh), jnp.float32),
+        jax.ShapeDtypeStruct((n_c * Gp, 1), jnp.float32),
     ]
     if has_dnu:
-        out_specs.append(pl.BlockSpec((tg, Nb), lambda i, j: (i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((Gp, Nb), jnp.float32))
-    # per-gene-tile partial buffers for the cell-indexed grads: block
-    # (i, j) of a (n_g*NH8, Cp) / (n_g*8, Cp) array is written exactly
-    # once (Mosaic needs block heights in multiples of 8; rows Nh..NH8-1
-    # are zero padding)
-    NH8 = _round_up(Nh, 8)
+        out_specs.append(
+            pl.BlockSpec((tg, Nb), lambda j, i: (j * n_g + i, 0))
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((n_c * Gp, Nb), jnp.float32))
     out_specs += [
-        pl.BlockSpec((NH8, tc), lambda i, j: (i, j)),
-        pl.BlockSpec((8, tc), lambda i, j: (i, j)),
+        pl.BlockSpec((NH8, tc), lambda j, i: (0, j)),
+        pl.BlockSpec((8, tc), lambda j, i: (0, j)),
     ]
     out_shapes += [
-        jax.ShapeDtypeStruct((n_g * NH8, Cp), jnp.float32),
-        jax.ShapeDtypeStruct((n_g * 8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((NH8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Cp), jnp.float32),
     ]
 
     outs = pl.pallas_call(
-        functools.partial(_phase_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k),
-        grid=(n_g, n_c),
-        in_specs=_phase_in_specs(Nh, Nb, has_dnu, True, tg, tc),
+        functools.partial(
+            _phase_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k,
+            (Gp != Ng) or (Cp != Nc),
+        ),
+        grid=(n_c, n_g),
+        in_specs=_phase_in_specs(Nh, Nb, has_dnu, False, tg, tc),
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=_interpret(),
     )(*ops)
     if has_dnu:
-        out, dnu_p, ddisp_p, ddnuT_p, dzetaP, dcfP = outs
-        d_dnu = ddnuT_p[:Ng].T
+        out, dnuP, ddispP, ddnuTP, dzetaA, dcfA = outs
+        d_dnu = ddnuTP.reshape(n_c, Gp, Nb).sum(0)[:Ng].T
     else:
-        out, dnu_p, ddisp_p, dzetaP, dcfP = outs
+        out, dnuP, ddispP, dzetaA, dcfA = outs
         d_dnu = None
     total = out[0, 0]
     if skip_k:
         total = total - lgamma_k_sum
-    NH8 = _round_up(Nh, 8)
-    dzeta = dzetaP.reshape(n_g, NH8, Cp)[:, :Nh].sum(0).T[:Nc]
-    dcf = dcfP.reshape(n_g, 8, Cp)[:, 0, :].sum(0)[:Nc]
-    return total, (dnu_p[:Ng], dzeta, dcf, ddisp_p[:Ng, 0], d_dnu)
+    dnu = dnuP.reshape(n_c, Gp, Nh).sum(0)[:Ng]
+    ddisp = ddispP.reshape(n_c, Gp).sum(0)[:Ng]
+    dzeta = dzetaA[:Nh].T[:Nc]
+    dcf = dcfA[0, :Nc]
+    return total, (dnu, dzeta, dcf, ddisp, d_dnu)
 
 
 def _phase_fused_fwd(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
@@ -561,7 +591,7 @@ def _velo_elogs(nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref,
     return elogS, elogU, dEs, gamma, x, xr
 
 
-def _velo_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
+def _velo_fwd_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     import jax.experimental.pallas as pl
 
     if has_dnu:
@@ -578,12 +608,16 @@ def _velo_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     )
     r = disp_ref[:]
     a, log_r = 1.0 / r, jnp.log(r)
+    kS = S_ref[:].astype(jnp.float32)
+    kU = U_ref[:].astype(jnp.float32)
     lp = (
-        _nb_lp(S_ref[:], elogS, a, log_r, skip_lgamma_k=skip_k)
-        + _nb_lp(U_ref[:], elogU, a, log_r, skip_lgamma_k=skip_k)
+        _nb_lp(kS, elogS, a, log_r, skip_lgamma_k=skip_k)
+        + _nb_lp(kU, elogU, a, log_r, skip_lgamma_k=skip_k)
     )
     gi, cj = pl.program_id(0), pl.program_id(1)
-    tile_sum = jnp.sum(lp * _tile_mask(gi, cj, Ng, Nc, *S_ref.shape))
+    if needs_mask:
+        lp = lp * _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
+    tile_sum = jnp.sum(lp)
 
     @pl.when((gi == 0) & (cj == 0))
     def _():
@@ -592,11 +626,12 @@ def _velo_fwd_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     out_ref[0, 0] += tile_sum
 
 
-def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, *refs):
+def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     """ONE grid pass (gene-major) producing loss + every gradient — the
     velocity-stage twin of `_phase_fwdgrad_kernel` (see its docstring for
-    the design: gene-indexed grads accumulate over consecutive cell-tile
-    revisits; cell-indexed grads go to per-gene-tile partial buffers)."""
+    the design: CELL-major grid, big cell-indexed grads accumulate in
+    place over consecutive inner gene-tile revisits, small gene-indexed
+    grads go to per-cell-tile partial blocks reduced outside)."""
     import jax.experimental.pallas as pl
 
     n_outs = 10 if has_dnu else 9
@@ -604,14 +639,14 @@ def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     if has_dnu:
         (S_ref, U_ref, nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref,
          lbeta_ref, lgamma_ref, disp_ref, dnuT_ref, Db_ref) = ins
-        (out_ref, dnu_ref, dlbeta_ref, dlgamma_ref, ddisp_ref, ddnuT_ref,
-         dzetaP_ref, dzdphiP_ref, dcfP_ref, domegaP_ref) = outs
+        (out_ref, dnuP_ref, dlbetaP_ref, dlgammaP_ref, ddispP_ref,
+         ddnuTP_ref, dzeta_ref, dzdphi_ref, dcf_ref, domega_ref) = outs
     else:
         (S_ref, U_ref, nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref,
          lbeta_ref, lgamma_ref, disp_ref) = ins
-        (out_ref, dnu_ref, dlbeta_ref, dlgamma_ref, ddisp_ref,
-         dzetaP_ref, dzdphiP_ref, dcfP_ref, domegaP_ref) = outs
-        dnuT_ref = Db_ref = ddnuT_ref = None
+        (out_ref, dnuP_ref, dlbetaP_ref, dlgammaP_ref, ddispP_ref,
+         dzeta_ref, dzdphi_ref, dcf_ref, domega_ref) = outs
+        dnuT_ref = Db_ref = ddnuTP_ref = None
 
     elogS, elogU, dEs, gamma, x, xr = _velo_elogs(
         nu_ref, zeta_ref, zdphi_ref, cf_ref, omega_ref, lbeta_ref,
@@ -619,60 +654,66 @@ def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, *refs):
     )
     r = disp_ref[:]
     a, log_r = 1.0 / r, jnp.log(r)
-    gi, cj = pl.program_id(0), pl.program_id(1)
-    mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
+    cj, gi = pl.program_id(0), pl.program_id(1)
+    kS = S_ref[:].astype(jnp.float32)
+    kU = U_ref[:].astype(jnp.float32)
 
-    lpS, gS, g_rS = _nb_lp_and_grads(S_ref[:], a, log_r, elogS, skip_k)
-    lpU, gU, g_rU = _nb_lp_and_grads(U_ref[:], a, log_r, elogU, skip_k)
+    lpS, gS, g_rS = _nb_lp_and_grads(kS, a, log_r, elogS, skip_k)
+    lpU, gU, g_rU = _nb_lp_and_grads(kU, a, log_r, elogU, skip_k)
+
+    lp = lpS + lpU
+    g_r = g_rS + g_rU
+    if needs_mask:
+        mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
+        lp = lp * mask
+        gS, gU = gS * mask, gU * mask
+        g_r = g_r * mask
 
     @pl.when((gi == 0) & (cj == 0))
     def _():
         out_ref[0, 0] = 0.0
 
-    out_ref[0, 0] += jnp.sum((lpS + lpU) * mask)
-
-    gS, gU = gS * mask, gU * mask
-    g_r = (g_rS + g_rU) * mask
+    out_ref[0, 0] += jnp.sum(lp)
     g_elogS = gS + gU                                   # ElogU includes ElogS
     g_x = gU * jnp.where(x > 0.0, 1.0 / xr, 0.0)        # relu + log chain
     g_x_om = g_x * omega_ref[:]
 
-    @pl.when(cj == 0)
-    def _():
-        dnu_ref[:] = jnp.zeros_like(dnu_ref)
-        dlbeta_ref[:] = jnp.zeros_like(dlbeta_ref)
-        dlgamma_ref[:] = jnp.zeros_like(dlgamma_ref)
-        ddisp_ref[:] = jnp.zeros_like(ddisp_ref)
-        if has_dnu:
-            ddnuT_ref[:] = jnp.zeros_like(ddnuT_ref)
-
-    dnu_ref[:] += jnp.dot(
+    # gene-indexed grads: one unique (small) partial block per grid step
+    dnuP_ref[:] = jnp.dot(
         g_elogS, zeta_ref[:], preferred_element_type=jnp.float32
     ) + jnp.dot(
         g_x_om, zdphi_ref[:], preferred_element_type=jnp.float32
     )
-    dlbeta_ref[:] += jnp.sum(-gU, axis=1, keepdims=True)
-    dlgamma_ref[:] += jnp.sum(g_x, axis=1, keepdims=True) * gamma
-    ddisp_ref[:] += jnp.sum(g_r, axis=1, keepdims=True)
+    dlbetaP_ref[:] = jnp.sum(-gU, axis=1, keepdims=True)
+    dlgammaP_ref[:] = jnp.sum(g_x, axis=1, keepdims=True) * gamma
+    ddispP_ref[:] = jnp.sum(g_r, axis=1, keepdims=True)
     if has_dnu:
-        ddnuT_ref[:] += jnp.dot(
+        ddnuTP_ref[:] = jnp.dot(
             g_elogS, Db_ref[:].T, preferred_element_type=jnp.float32
         )
+
+    # cell-indexed grads: consecutive gi revisits -> accumulate in place
+    @pl.when(gi == 0)
+    def _():
+        dzeta_ref[:] = jnp.zeros_like(dzeta_ref)
+        dzdphi_ref[:] = jnp.zeros_like(dzdphi_ref)
+        dcf_ref[:] = jnp.zeros_like(dcf_ref)
+        domega_ref[:] = jnp.zeros_like(domega_ref)
 
     def _pad_block(t, ref):
         z = jnp.zeros((ref.shape[0] - t.shape[0], t.shape[1]), t.dtype)
         return jnp.concatenate([t, z], axis=0)
 
-    dzetaP_ref[:] = _pad_block(jnp.dot(
+    dzeta_ref[:] += _pad_block(jnp.dot(
         nu_ref[:].T, g_elogS, preferred_element_type=jnp.float32
-    ), dzetaP_ref)
-    dzdphiP_ref[:] = _pad_block(jnp.dot(
+    ), dzeta_ref)
+    dzdphi_ref[:] += _pad_block(jnp.dot(
         nu_ref[:].T, g_x_om, preferred_element_type=jnp.float32
-    ), dzdphiP_ref)
+    ), dzdphi_ref)
     cf_sum = jnp.sum(g_elogS, axis=0, keepdims=True)
-    dcfP_ref[:] = jnp.broadcast_to(cf_sum, dcfP_ref.shape)
+    dcf_ref[:] += jnp.broadcast_to(cf_sum, dcf_ref.shape)
     om_sum = jnp.sum(g_x * dEs, axis=0, keepdims=True)
-    domegaP_ref[:] = jnp.broadcast_to(om_sum, domegaP_ref.shape)
+    domega_ref[:] += jnp.broadcast_to(om_sum, domega_ref.shape)
 
 
 def _velo_padded(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
@@ -731,14 +772,17 @@ def _velo_fused_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
 
     has_dnu = delta_nu is not None
     skip_k = lgamma_k_sum is not None
-    tg, tc = _tiles(S.shape[1], cap=TILE_C_VELO)
+    tg, tc = _tiles(S.shape[0], S.shape[1], cap=TILE_C_VELO)
     ops, (Ng, Nc, Nh, Gp, Cp) = _velo_padded(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
         dispersion, delta_nu, Db, tg, tc
     )
     Nb = delta_nu.shape[0] if has_dnu else 0
     out = pl.pallas_call(
-        functools.partial(_velo_fwd_kernel, Ng, Nc, has_dnu, skip_k),
+        functools.partial(
+            _velo_fwd_kernel, Ng, Nc, has_dnu, skip_k,
+            (Gp != Ng) or (Cp != Nc),
+        ),
         grid=(Gp // tg, Cp // tc),
         in_specs=_velo_in_specs(Nh, Nb, has_dnu, True, tg, tc),
         out_specs=pl.BlockSpec(
@@ -783,7 +827,7 @@ def _velo_fwdgrad_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
 
     has_dnu = delta_nu is not None
     skip_k = lgamma_k_sum is not None
-    tg, tc = _tiles(S.shape[1], cap=TILE_C_VELO)
+    tg, tc = _tiles(S.shape[0], S.shape[1], cap=TILE_C_VELO)
     ops, (Ng, Nc, Nh, Gp, Cp) = _velo_padded(
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
         dispersion, delta_nu, Db, tg, tc
@@ -792,67 +836,78 @@ def _velo_fwdgrad_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
     n_g, n_c = Gp // tg, Cp // tc
     NH8 = _round_up(Nh, 8)
 
+    # CELL-major grid, like the phase kernel: big cell-indexed grads
+    # accumulate in place; small gene-indexed grads to per-cell-tile
+    # partial blocks.
     out_specs = [
-        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((tg, Nh), lambda i, j: (i, 0)),   # dnu
-        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),    # dlog_beta
-        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),    # dlog_gamma
-        pl.BlockSpec((tg, 1), lambda i, j: (i, 0)),    # ddisp
+        pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tg, Nh), lambda j, i: (j * n_g + i, 0)),  # dnu part
+        pl.BlockSpec((tg, 1), lambda j, i: (j * n_g + i, 0)),   # dlog_beta
+        pl.BlockSpec((tg, 1), lambda j, i: (j * n_g + i, 0)),   # dlog_gamma
+        pl.BlockSpec((tg, 1), lambda j, i: (j * n_g + i, 0)),   # ddisp
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Gp, Nh), jnp.float32),
-        jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Gp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_c * Gp, Nh), jnp.float32),
+        jax.ShapeDtypeStruct((n_c * Gp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_c * Gp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_c * Gp, 1), jnp.float32),
     ]
     if has_dnu:
-        out_specs.append(pl.BlockSpec((tg, Nb), lambda i, j: (i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((Gp, Nb), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((tg, Nb), lambda j, i: (j * n_g + i, 0))
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((n_c * Gp, Nb), jnp.float32))
     out_specs += [
-        pl.BlockSpec((NH8, tc), lambda i, j: (i, j)),  # dzeta partials
-        pl.BlockSpec((NH8, tc), lambda i, j: (i, j)),  # dzdphi partials
-        pl.BlockSpec((8, tc), lambda i, j: (i, j)),    # dcf partials
-        pl.BlockSpec((8, tc), lambda i, j: (i, j)),    # domega partials
+        pl.BlockSpec((NH8, tc), lambda j, i: (0, j)),  # dzeta
+        pl.BlockSpec((NH8, tc), lambda j, i: (0, j)),  # dzdphi
+        pl.BlockSpec((8, tc), lambda j, i: (0, j)),    # dcf
+        pl.BlockSpec((8, tc), lambda j, i: (0, j)),    # domega
     ]
     out_shapes += [
-        jax.ShapeDtypeStruct((n_g * NH8, Cp), jnp.float32),
-        jax.ShapeDtypeStruct((n_g * NH8, Cp), jnp.float32),
-        jax.ShapeDtypeStruct((n_g * 8, Cp), jnp.float32),
-        jax.ShapeDtypeStruct((n_g * 8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((NH8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((NH8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((8, Cp), jnp.float32),
     ]
 
     outs = pl.pallas_call(
-        functools.partial(_velo_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k),
-        grid=(n_g, n_c),
-        in_specs=_velo_in_specs(Nh, Nb, has_dnu, True, tg, tc),
+        functools.partial(
+            _velo_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k,
+            (Gp != Ng) or (Cp != Nc),
+        ),
+        grid=(n_c, n_g),
+        in_specs=_velo_in_specs(Nh, Nb, has_dnu, False, tg, tc),
         out_specs=out_specs,
         out_shape=out_shapes,
         # the S+U working set at the tuned tile exceeds Mosaic's
-        # conservative 16M scoped-VMEM default by ~1% at large grids
+        # conservative 16M scoped-VMEM default
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=_interpret(),
     )(*ops)
     if has_dnu:
-        (out, dnu_p, dlbeta_p, dlgamma_p, ddisp_p, ddnuT_p, dzetaP,
-         dzdphiP, dcfP, domegaP) = outs
-        d_dnu = ddnuT_p[:Ng].T
+        (out, dnuP, dlbetaP, dlgammaP, ddispP, ddnuTP, dzetaA,
+         dzdphiA, dcfA, domegaA) = outs
+        d_dnu = ddnuTP.reshape(n_c, Gp, Nb).sum(0)[:Ng].T
     else:
-        (out, dnu_p, dlbeta_p, dlgamma_p, ddisp_p, dzetaP, dzdphiP,
-         dcfP, domegaP) = outs
+        (out, dnuP, dlbetaP, dlgammaP, ddispP, dzetaA, dzdphiA,
+         dcfA, domegaA) = outs
         d_dnu = None
     total = out[0, 0]
     if skip_k:
         total = total - lgamma_k_sum
-    dzeta = dzetaP.reshape(n_g, NH8, Cp)[:, :Nh].sum(0).T[:Nc]
-    dzdphi = dzdphiP.reshape(n_g, NH8, Cp)[:, :Nh].sum(0).T[:Nc]
-    dcf = dcfP.reshape(n_g, 8, Cp)[:, 0, :].sum(0)[:Nc]
-    domega = domegaP.reshape(n_g, 8, Cp)[:, 0, :].sum(0)[:Nc]
-    return total, (dnu_p[:Ng], dzeta, dzdphi, dcf, domega,
-                   dlbeta_p[:Ng, 0], dlgamma_p[:Ng, 0], ddisp_p[:Ng, 0],
-                   d_dnu)
+    dnu = dnuP.reshape(n_c, Gp, Nh).sum(0)[:Ng]
+    dlbeta = dlbetaP.reshape(n_c, Gp).sum(0)[:Ng]
+    dlgamma = dlgammaP.reshape(n_c, Gp).sum(0)[:Ng]
+    ddisp = ddispP.reshape(n_c, Gp).sum(0)[:Ng]
+    dzeta = dzetaA[:Nh].T[:Nc]
+    dzdphi = dzdphiA[:Nh].T[:Nc]
+    dcf = dcfA[0, :Nc]
+    domega = domegaA[0, :Nc]
+    return total, (dnu, dzeta, dzdphi, dcf, domega,
+                   dlbeta, dlgamma, ddisp, d_dnu)
 
 
 def _velo_fused_fwd(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,

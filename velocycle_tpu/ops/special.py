@@ -21,7 +21,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["lgamma_pos", "digamma_pos", "softplus"]
+__all__ = [
+    "lgamma_pos", "digamma_pos", "softplus", "softplus_sigmoid",
+    "lgamma_ratio", "digamma_ratio", "lgamma_digamma_ratio",
+]
 
 # Lanczos g=7, n=9 coefficients (double precision; exact in f32).
 _LANCZOS_G = 7.0
@@ -72,6 +75,18 @@ def softplus(x):
     return jnp.maximum(x, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(x)))
 
 
+def softplus_sigmoid(x):
+    """(softplus(x), sigmoid(x)) sharing one exp and one reciprocal —
+    the NB log-pmf + gradient needs both of exactly the same argument.
+    sigmoid(x) = 1/(1+e) for x >= 0 and e/(1+e) for x < 0, with
+    e = exp(-|x|); both branches overflow-safe."""
+    e = jnp.exp(-jnp.abs(x))
+    d = 1.0 / (1.0 + e)
+    sp = jnp.maximum(x, 0.0) + jnp.log1p(e)
+    sig = jnp.where(x >= 0.0, d, e * d)
+    return sp, sig
+
+
 def _stirling_rc(z):
     """Stirling-series correction 1/(12z) - 1/(360z^3) + 1/(1260z^5)."""
     inv = 1.0 / z
@@ -116,6 +131,62 @@ def lgamma_ratio(k, a):
         - _stirling_rc(y)
     )
     return jnp.where(k < 8, small, full8 + stir)
+
+
+def lgamma_digamma_ratio(k, a):
+    """(lgamma(k+a) - lgamma(a), digamma(k+a) - digamma(a)) with every
+    intermediate shared — the single-pass fwd+grad kernels need BOTH, and
+    computing them together saves one log1p, one reciprocal, and all the
+    small-k mask compares vs calling `lgamma_ratio` + `digamma_ratio`.
+
+    Threshold 2 (vs 8 in the standalone forms): the Stirling difference
+    is evaluated at arguments >= a+2 with a 4-term correction series
+    (accurate to ~2e-7 absolute at z=2 — below f32 roundoff of the O(1)
+    log-pmf values), and the masked small-k path shrinks from 8 to 2
+    select+add pairs per element per function.  The per-element divide
+    x/y becomes a multiply by the per-gene 1/y, and log(ka) folds into
+    the shared log1p: log(ka) = log(y) + log1p(x/y).  Exact for integer
+    k (same contract as `lgamma_ratio`)."""
+    masks = [k > j for j in range(2)]
+    logs = [jnp.log(a + j) for j in range(2)]    # per-gene columns
+    invs = [1.0 / (a + j) for j in range(2)]
+    small_l = sum(jnp.where(masks[j], logs[j], 0.0) for j in range(2))
+    small_d = sum(jnp.where(masks[j], invs[j], 0.0) for j in range(2))
+    full_l = sum(logs)
+    full_d = sum(invs)
+
+    # Stirling differences at args >= 2: y = a+2, x = k-2 (clamped)
+    y = a + 2.0
+    x = jnp.maximum(k - 2.0, 0.0)
+    ka = y + x                                   # = a + max(k, 2)
+    inv_y = 1.0 / y                              # per-gene
+    inv2_y = inv_y * inv_y
+    log_y = jnp.log(y)                           # per-gene
+    l1p = jnp.log1p(x * inv_y)
+    inv = 1.0 / ka
+    inv2 = inv * inv
+    # lgamma correction 1/(12z) - 1/(360z^3) + 1/(1260z^5) - 1/(1680z^7)
+    rc_ka = inv * (1.0 / 12.0 - inv2 * (
+        1.0 / 360.0 - inv2 * (1.0 / 1260.0 - inv2 * (1.0 / 1680.0))
+    ))
+    rc_y = inv_y * (1.0 / 12.0 - inv2_y * (
+        1.0 / 360.0 - inv2_y * (1.0 / 1260.0 - inv2_y * (1.0 / 1680.0))
+    ))
+    stir_l = (y - 0.5 + x) * l1p + x * log_y - x + rc_ka - rc_y
+    # digamma tail -1/(2z) - 1/(12z^2) + 1/(120z^4) - 1/(252z^6)
+    tail_ka = -0.5 * inv - inv2 * (
+        1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0)
+    )
+    tail_y = -0.5 * inv_y - inv2_y * (
+        1.0 / 12.0 - inv2_y * (1.0 / 120.0 - inv2_y / 252.0)
+    )
+    stir_d = l1p + tail_ka - tail_y
+
+    lt = k < 2
+    return (
+        jnp.where(lt, small_l, full_l + stir_l),
+        jnp.where(lt, small_d, full_d + stir_d),
+    )
 
 
 def digamma_ratio(k, a):

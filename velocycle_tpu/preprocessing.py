@@ -164,6 +164,26 @@ def _extract_counts(adata, normalize):
     )
 
 
+def _compact_counts(use_fused_nb, *counts):
+    """Store integer-valued count matrices as int16 for the fused-kernel
+    path: the (Ng, Nc) count stream is the kernels' dominant HBM read at
+    scale, and 16-bit storage halves it (the kernels upcast per tile in
+    VMEM; `ops/nb_kernels.py`).  Falls back to float32 when values are
+    fractional (normalized layers) or exceed int16 range."""
+    out = []
+    for K in counts:
+        if (
+            use_fused_nb
+            and np.all(K == np.floor(K))
+            and K.min() >= 0
+            and K.max() < np.iinfo(np.int16).max
+        ):
+            out.append(K.astype(np.int16))
+        else:
+            out.append(K)
+    return out if len(out) > 1 else out[0]
+
+
 def _lgamma_k_sum(use_fused_nb, *counts):
     """Dataset constant ``sum(lgamma(K+1))`` over the count matrices: lets
     the fused NB kernel skip one full-tile lgamma per step (the constant
@@ -247,7 +267,7 @@ def preprocess_for_phase_estimation(
         spline_degree, spline_domain,
     )
     data = PhaseData(
-        S=S.T,
+        S=_compact_counts(use_fused_nb, S.T),
         logS=np.asarray(adata.layers["logS"], np.float32).T,
         count_factor=count_factor,
         mu_nu=cycle_obj.means_array,
@@ -382,8 +402,8 @@ def preprocess_for_velocity_estimation(
     ).reshape(Nb, 1)
 
     data = VelocityData(
-        S=S.T,
-        U=U.T,
+        S=_compact_counts(use_fused_nb, S.T),
+        U=_compact_counts(use_fused_nb, U.T),
         logS=np.asarray(adata.layers["logS"], np.float32).T,
         logU=np.asarray(adata.layers["logU"], np.float32).T,
         count_factor=np.broadcast_to(
