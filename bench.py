@@ -58,11 +58,12 @@ BASELINES = {
 # timed group never pays relay cold-start.
 GROUPS = [
     ("warm", 150),
-    ("headline", 420),
-    ("scale", 600),
+    ("headline", 360),
+    ("scale", 540),
     ("smc", 420),
-    ("nuts", 420),
-    ("parity", 300),
+    ("nuts", 360),
+    ("nuts_phi", 420),
+    ("parity", 240),
     ("svi5", 420),
 ]
 GLOBAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", 1800))
@@ -253,6 +254,112 @@ def _nuts_row():
         "note": f"warm run (incl. {warmup}-step warmup); {chains} chains x "
                 f"{samples} samples, Ng=50 phase model, phases conditioned; "
                 "ESS = split-chain bulk ESS over all scalar params",
+    })
+
+
+def _nuts_phi_row():
+    """PHASE-SAMPLING NUTS at the flagship geometry (BASELINE config #4's
+    actual target: the (Nc, 2) cell phases as latents, genes conditioned
+    — the mirror image of the `nuts` row).  Two parametrizations:
+
+      * phi_xy 2-vector (the reference's S^1-avoiding trick) with
+        per-cell 2x2 Hessian-block preconditioning, 64 chains;
+      * wrapped phi on S^1 proper (VonMises prior, circular bijector
+        with per-coordinate scaling), 64 chains — the parametrization
+        the reference cannot express at all.
+    """
+    import numpy as np
+    import jax
+
+    from velocycle_tpu import (
+        MCMCFitModel, PhaseFitModel, preprocess_for_phase_estimation,
+    )
+    from velocycle_tpu.ops.circular import circular_corrcoef
+
+    Nc, Ng = 2000, 50
+    adata, cycle, phases, _ = _sim(Nc, Ng, 1, 17)
+    mp = preprocess_for_phase_estimation(
+        adata, cycle, phases, n_harmonics=1, with_delta_nu=False,
+    )
+    svi = PhaseFitModel(mp, get_posterior=False)
+    svi.fit(num_steps=800, key=jax.random.PRNGKey(2))
+    svi_phis = np.arctan2(svi.params["phixy_locs"][:, 1],
+                          svi.params["phixy_locs"][:, 0])
+    cond = {
+        "nu": svi.params["nu_locs"],
+        "shape_inv": svi.params["shape_inv_locs"],
+    }
+
+    chains, samples, warmup = 64, 150, 400
+
+    # wrapped-phi S^1 parametrization through the PACKAGE path
+    # (preprocess(phi_parametrization="wrapped") + MCMCFitModel):
+    # phi itself is the circular latent (VonMises prior, periodic wrap,
+    # per-coordinate curvature scaling from the driver's HVP probes)
+    mp_w = preprocess_for_phase_estimation(
+        adata, cycle, phases, n_harmonics=1, with_delta_nu=False,
+        phi_parametrization="wrapped",
+    )
+    fm_w = MCMCFitModel(
+        mp_w, condition_on=cond, num_chains=chains, num_warmup=warmup,
+        num_samples=samples, svi_steps=400, block_sites=(),
+        max_depth=6, init_jitter=1.0,
+    )
+    t0 = time.perf_counter()
+    fm_w.run(jax.random.PRNGKey(9))
+    dt = time.perf_counter() - t0
+    cc_w = float(circular_corrcoef(fm_w.phase_fit.phis, svi_phis))
+    _emit({
+        "row": "nuts_phi_wrapped",
+        "samples_per_s": round(chains * samples / dt, 1),
+        "max_split_rhat": round(fm_w.diagnostics["max_split_rhat"], 3),
+        "min_ess": round(fm_w.diagnostics["min_ess"], 1),
+        "median_ess": round(fm_w.diagnostics["median_ess"], 1),
+        "accept_rate": round(fm_w.diagnostics["accept_rate"], 3),
+        "phi_circ_corr_vs_svi": round(cc_w, 4),
+        "chains": chains,
+        "wall_s": round(dt, 1),
+        "note": f"WRAPPED-phi S^1 NUTS ({Nc} circular latents, VonMises "
+                "prior, periodic wrap, per-cell curvature scaling), genes "
+                "conditioned, via preprocess(phi_parametrization="
+                "'wrapped') + MCMCFitModel; the parametrization the "
+                "reference sidesteps with the 2-vector trick — and the "
+                "one that MIXES at scale (the phi_xy posterior is a thin "
+                "curved arc per cell; see the nuts_phi_xy row)",
+    })
+
+    # the reference's phi_xy 2-vector parametrization at the same scale:
+    # measured honestly — per-cell 2x2 Hessian-block whitening, but the
+    # per-cell posterior is a thin CURVED arc (the likelihood depends on
+    # the angle only), and the joint of 2000 such arcs pins NUTS's step
+    # size: the posterior MEANS are right (circ corr ~0.98) but mixing is
+    # catastrophically slow next to the wrapped parametrization.  Kept as
+    # the measured comparison that motivates phi_parametrization="wrapped"
+    fm = MCMCFitModel(
+        mp, condition_on=cond, num_chains=chains, num_warmup=warmup,
+        num_samples=samples, svi_steps=400, block_sites=("phi_xy",),
+        max_depth=6, init_jitter=0.5,
+    )
+    t0 = time.perf_counter()
+    fm.run(jax.random.PRNGKey(5))
+    dt = time.perf_counter() - t0
+    cc = float(circular_corrcoef(fm.phase_fit.phis, svi_phis))
+    _emit({
+        "row": "nuts_phi_xy",
+        "samples_per_s": round(chains * samples / dt, 1),
+        "max_split_rhat": round(fm.diagnostics["max_split_rhat"], 3),
+        "min_ess": round(fm.diagnostics["min_ess"], 1),
+        "median_ess": round(fm.diagnostics["median_ess"], 1),
+        "accept_rate": round(fm.diagnostics["accept_rate"], 3),
+        "phi_circ_corr_vs_svi": round(cc, 4),
+        "chains": chains,
+        "wall_s": round(dt, 1),
+        "note": f"phi_xy 2-vector phase sampling ({2 * Nc} dims), Nc={Nc},"
+                " genes conditioned, per-cell 2x2 Hessian-block "
+                "preconditioner — the CARTESIAN parametrization's "
+                "geometry (thin curved arc per cell) throttles mixing; "
+                "posterior means still agree with SVI (circ corr), but "
+                "use nuts_phi_wrapped for real phase posteriors at scale",
     })
 
 
@@ -511,6 +618,8 @@ def _worker(group):
         _smc_row()
     elif group == "nuts":
         _nuts_row()
+    elif group == "nuts_phi":
+        _nuts_phi_row()
     elif group == "parity":
         _parity_row()
     elif group == "svi5":

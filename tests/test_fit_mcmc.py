@@ -171,3 +171,106 @@ def test_smc_driver_evidence_reacts_to_data_fit(mp):
         num_particles=64, num_moves=2, max_stages=200,
     ).run(jax.random.PRNGKey(2))
     assert sm_good.log_evidence > sm_bad.log_evidence + 10
+
+
+def test_mcmc_phase_sampling_vs_svi():
+    """The MIRROR of the conditioned-NUTS workflow: sample the CELL PHASES
+    themselves (phi_xy, (Nc, 2) latents) with the gene parameters pinned
+    to an SVI fit — BASELINE config #4's geometry.  Gates: split R-hat
+    over every phi scalar < 1.05, and circular corr of the sampled phase
+    posterior means vs the SVI phase posterior > 0.95.  (The at-scale
+    version — Nc=2000, 64 chains — is the `nuts_phi` bench row.)"""
+    from velocycle_tpu import PhaseFitModel
+
+    Nc, Ng = 300, 20
+    sim = simulate_data(Nc=Nc, Ng=Ng, seed=21)
+    rng = np.random.default_rng(1)
+    nu = sim.uns["simulated_nu"]
+    cycle = Cycle.from_array(
+        (nu + rng.normal(0, 0.2, nu.shape)).T, np.full((3, Ng), 0.5),
+        list(sim.var.index),
+    )
+    phases = Phases.from_angles(
+        sim.obs["simulated_phis"].values + rng.normal(0, 0.3, Nc),
+        2.0, list(sim.obs.index),
+    )
+    mp2 = preprocess_for_phase_estimation(
+        sim, cycle, phases, n_harmonics=1, with_delta_nu=False,
+    )
+    svi = PhaseFitModel(mp2, get_posterior=False)
+    svi.fit(num_steps=800, key=jax.random.PRNGKey(3))
+
+    fm = MCMCFitModel(
+        mp2,
+        condition_on={
+            "nu": svi.params["nu_locs"],
+            "shape_inv": svi.params["shape_inv_locs"],
+        },
+        num_chains=4, num_warmup=500, num_samples=350,
+        svi_steps=400, block_sites=("phi_xy",), max_depth=6,
+    )
+    fm.run(jax.random.PRNGKey(7))
+    assert fm.diagnostics["max_split_rhat"] < 1.05, fm.diagnostics
+    assert fm.diagnostics["accept_rate"] > 0.6, fm.diagnostics
+
+    from velocycle_tpu.ops.circular import circular_corrcoef
+
+    svi_phis = np.arctan2(svi.params["phixy_locs"][:, 1],
+                          svi.params["phixy_locs"][:, 0])
+    cc = float(circular_corrcoef(fm.phase_fit.phis, svi_phis))
+    assert cc > 0.95, cc
+
+
+def test_mcmc_phase_sampling_wrapped_parametrization():
+    """Same phase-sampling workflow through phi_parametrization="wrapped":
+    phi on S^1 proper (VonMises prior + circular bijector).  This is the
+    parametrization that mixes at scale — the per-cell phi_xy posterior
+    is a thin curved arc (likelihood depends on the angle only) and the
+    joint of thousands of arcs pins NUTS's step size (measured at
+    Nc=2000/64 chains: median ESS 74/9600 xy vs 8851/9600 wrapped — the
+    nuts_phi_* bench rows)."""
+    from velocycle_tpu import PhaseFitModel
+    from velocycle_tpu.ops.circular import circular_corrcoef
+
+    # Ng=50 as in the at-scale bench row: with fewer genes the occasional
+    # cell is genuinely BIMODAL in phase and R-hat measures multimodality
+    # rather than mixing
+    Nc, Ng = 300, 50
+    sim = simulate_data(Nc=Nc, Ng=Ng, seed=21)
+    rng = np.random.default_rng(1)
+    nu = sim.uns["simulated_nu"]
+    cycle = Cycle.from_array(
+        (nu + rng.normal(0, 0.2, nu.shape)).T, np.full((3, Ng), 0.5),
+        list(sim.var.index),
+    )
+    phases = Phases.from_angles(
+        sim.obs["simulated_phis"].values + rng.normal(0, 0.3, Nc),
+        2.0, list(sim.obs.index),
+    )
+    mp2 = preprocess_for_phase_estimation(
+        sim, cycle, phases, n_harmonics=1, with_delta_nu=False,
+        phi_parametrization="wrapped",
+    )
+    svi = PhaseFitModel(mp2, get_posterior=False)
+    svi.fit(num_steps=800, key=jax.random.PRNGKey(3))
+    assert "phi_locs" in svi.params          # wrapped guide family
+
+    fm = MCMCFitModel(
+        mp2,
+        condition_on={
+            "nu": svi.params["nu_locs"],
+            "shape_inv": svi.params["shape_inv_locs"],
+        },
+        num_chains=4, num_warmup=400, num_samples=300,
+        svi_steps=300, block_sites=(), max_depth=6,
+        # tight init jitter: chains must explore the dominant basin, not
+        # seed themselves into opposite modes of the occasional bimodal
+        # cell (split R-hat would then detect multimodality, not mixing)
+        init_jitter=0.5,
+    )
+    fm.run(jax.random.PRNGKey(7))
+    assert fm.diagnostics["max_split_rhat"] < 1.05, fm.diagnostics
+    phi = fm.posterior["phi"]
+    assert ((phi >= -np.pi) & (phi < np.pi)).all()
+    cc = float(circular_corrcoef(fm.phase_fit.phis, svi.params["phi_locs"]))
+    assert cc > 0.95, cc

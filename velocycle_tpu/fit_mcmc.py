@@ -156,9 +156,16 @@ class _SamplingFitModel:
             blocks = cols[:, o:o + sizes[name]].reshape(k, B, k)
             H = np.transpose(blocks, (1, 2, 0)).astype(np.float64)
             H = 0.5 * (H + np.transpose(H, (0, 2, 1)))
-            # guard: positive-definite floor on each block
-            H += 1e-6 * np.eye(k)
-            pre[name] = np.linalg.inv(H)
+            # PD guard via eigenvalue clamp: Hessian blocks at an SVI
+            # point can have flat or slightly indefinite directions (e.g.
+            # the radial direction of a phi_xy 2-vector, constrained only
+            # by the prior, plus f32 HVP noise) — clamp eigenvalues to
+            # >= 1.0, i.e. cap the whitened variance at 1.0, matching the
+            # diagonal path's cap so such directions cannot jitter inits
+            # into degenerate regions
+            w, V = np.linalg.eigh(H)
+            w = np.maximum(w, 1.0)
+            pre[name] = np.einsum("bik,bk,bjk->bij", V, 1.0 / w, V)
 
         return init_values or None, pre or None
 

@@ -238,13 +238,16 @@ def block_precondition(info: ModelInfo, blocks):
     log_det_scale = 0.0
     for name, (shape, size, constraint) in info.site_meta.items():
         if name in blocks:
-            if constraint.name == "circular":
-                raise ValueError(
-                    f"site {name!r} is circular; only diagonal "
-                    "preconditioning is valid for wrapped coordinates"
-                )
             b = np_.asarray(jax.device_get(blocks[name]), np_.float64)
             if b.ndim == 3 and b.shape[-1] == b.shape[-2]:
+                if constraint.name == "circular":
+                    raise ValueError(
+                        f"site {name!r} is circular; only DIAGONAL "
+                        "preconditioning is valid for wrapped "
+                        "coordinates (pass a variance vector, not "
+                        "covariance blocks — wrapping is only measure-"
+                        "preserving under a per-coordinate scaling)"
+                    )
                 L = np_.linalg.cholesky(
                     b + 1e-12 * np_.eye(b.shape[-1])
                 )

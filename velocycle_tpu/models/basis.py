@@ -73,6 +73,18 @@ def sample_phi(mp):
     workflows with a known pseudotime condition this site.
     """
     if mp.basis_kind == "fourier":
+        if getattr(mp, "phi_parametrization", "xy") == "wrapped":
+            # S^1 proper: phi itself is the latent, VonMises prior at the
+            # prior angle with kappa = |prior|^2 (the large-|mu| limit of
+            # the projected-Normal angular concentration).  For NUTS over
+            # the phases this is load-bearing: the phi_xy posterior is a
+            # thin curved arc per cell that pins the sampler's step size
+            # at scale (see metapars.PhaseData.phi_parametrization).
+            angles = jnp.arctan2(mp.phixy_prior[:, 1], mp.phixy_prior[:, 0])
+            kappa = jnp.maximum(jnp.sum(mp.phixy_prior**2, -1), 1e-3)
+            with plate("cells", mp.Nc, dim=-1):
+                phi = sample("phi", dist.VonMises(angles, kappa))
+            return phi
         with plate("cells", mp.Nc, dim=-1):
             phi_xy = sample(
                 "phi_xy", dist.Normal(mp.phixy_prior, 1.0).to_event(1)
@@ -102,6 +114,15 @@ def guide_phi(mp):
     workflow while still allowing phi to be learned when unconditioned).
     """
     if mp.basis_kind == "fourier":
+        if getattr(mp, "phi_parametrization", "xy") == "wrapped":
+            # point-mass phases (the VonMises family is not
+            # reparameterizable; MAP phases are what the conditioned
+            # workflows consume, and MCMC is the full-posterior path)
+            angles = jnp.arctan2(mp.phixy_prior[:, 1], mp.phixy_prior[:, 0])
+            phi_locs = param("phi_locs", angles)
+            with plate("cells", mp.Nc, dim=-1):
+                sample("phi", dist.Delta(phi_locs))
+            return
         phixy_locs = param("phixy_locs", mp.phixy_prior)
         with plate("cells", mp.Nc, dim=-1):
             sample("phi_xy", dist.Normal(phixy_locs, 1.0).to_event(1))

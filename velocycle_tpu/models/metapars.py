@@ -63,6 +63,13 @@ class PhaseData:
         pytree_node=False, default="all"
     )
     basis_kind: str = struct.field(pytree_node=False, default="fourier")
+    # "xy" (the reference's phi_xy 2-vector trick) or "wrapped" (phi on
+    # S^1 proper, VonMises prior + circular bijector).  For MCMC over the
+    # phases "wrapped" is load-bearing: the per-cell phi_xy posterior is
+    # a thin curved arc (likelihood depends on the angle only), and at
+    # Nc >= 2000 the joint of thousands of such arcs pins NUTS's step
+    # size (measured: median ESS 74/9600 draws vs 5123/6400 wrapped).
+    phi_parametrization: str = struct.field(pytree_node=False, default="xy")
     # spline-basis config (basis_kind == "spline"); the expression basis has
     # spline_n_basis + 1 columns (leading constant)
     spline_n_basis: int = struct.field(pytree_node=False, default=10)
@@ -124,6 +131,8 @@ class VelocityData:
     model_type: str = struct.field(pytree_node=False, default="lrmn")
     rho_rank: int = struct.field(pytree_node=False, default=5)
     basis_kind: str = struct.field(pytree_node=False, default="fourier")
+    # "xy" or "wrapped" — see PhaseData.phi_parametrization
+    phi_parametrization: str = struct.field(pytree_node=False, default="xy")
     # spline-basis config (basis_kind == "spline")
     spline_n_basis: int = struct.field(pytree_node=False, default=10)
     spline_degree: int = struct.field(pytree_node=False, default=3)

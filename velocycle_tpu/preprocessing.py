@@ -216,6 +216,7 @@ def preprocess_for_phase_estimation(
     beta0: float = 0.10,
     beta1: float = 0.90,
     basis_kind: str = "fourier",
+    phi_parametrization: str = "xy",
     spline_degree: int = 3,
     spline_domain=None,
     use_fused_nb: bool = False,
@@ -288,6 +289,7 @@ def preprocess_for_phase_estimation(
         noisemodel=noisemodel,
         with_delta_nu=with_delta_nu,
         gene_selection_model=gene_selection_model,
+        phi_parametrization=phi_parametrization,
         use_fused_nb=use_fused_nb,
         lgamma_k_sum=_lgamma_k_sum(use_fused_nb, S),
         **basis_cfg,
@@ -332,6 +334,7 @@ def preprocess_for_velocity_estimation(
     rho_scale: float = 1.0,
     rho_rank: int = 5,
     basis_kind: str = "fourier",
+    phi_parametrization: str = "xy",
     spline_degree: int = 3,
     spline_domain=None,
     use_fused_nb: bool = False,
@@ -440,6 +443,7 @@ def preprocess_for_velocity_estimation(
         with_delta_nu=with_delta_nu,
         model_type=model_type,
         rho_rank=rho_rank,
+        phi_parametrization=phi_parametrization,
         use_fused_nb=use_fused_nb,
         lgamma_k_sum=_lgamma_k_sum(use_fused_nb, S, U),
         **basis_cfg,
