@@ -27,6 +27,7 @@ from velocycle_tpu.anndata_lite import AnnDataLite
 from velocycle_tpu.ops.splines import spline_basis_auto
 
 from _smoke import sz
+import _figs
 
 NC, NG, N_BASIS = sz(400, 64), sz(60, 16), sz(8, 6)
 OMEGA_TRUE = 0.5
@@ -83,6 +84,11 @@ def main():
         (nu_hat @ truth["B"].T).ravel(), truth["ElogS"].ravel()
     )[0, 1]
     print(f"stage 1: ElogS corr vs truth = {corr:.4f}")
+    _figs.fig_elbo(fit.losses, "pancreas_elbo.png",
+                   title="stage-1 spline SVI ELBO")
+    _figs.fig_spline_field(
+        t, nu_hat @ truth["B"].T, truth["ElogS"], "pancreas_field.png",
+    )
 
     # -- stage 2: kinetics + scalar speed ---------------------------------
     cycle_fit = Cycle.from_array(
@@ -122,6 +128,17 @@ def main():
             vfit.cycle_fit.log_betas, np.log(truth["beta"])
         )[0, 1], 3),
     )
+    # the kinetic model identifies RATIOS, not absolute rates: scaling
+    # (omega, gamma) by c and absorbing log c into beta leaves ElogU
+    # unchanged, so absolute gamma/beta/omega are prior-dominated (the
+    # reference has the same degeneracy; its tutorials fix scale with
+    # informative priors).  The identifiable combination:
+    ratio_corr = np.corrcoef(
+        vfit.cycle_fit.log_gammas - vfit.cycle_fit.log_betas,
+        np.log(truth["gamma"]) - np.log(truth["beta"]),
+    )[0, 1]
+    print(f"stage 2: gamma/beta ratio corr = {ratio_corr:.3f} "
+          "(the identifiable kinetic combination)")
     print(
         f"transit time over the manifold = {vfit.period_hours()[0]:.2f} "
         "(domain units)"

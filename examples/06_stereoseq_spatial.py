@@ -28,6 +28,7 @@ from velocycle_tpu.ops.circular import circular_corrcoef
 from velocycle_tpu.simulate import simulate_data
 
 from _smoke import sz
+import _figs
 
 NC, NG = sz(600, 80), sz(150, 24)
 
@@ -81,6 +82,11 @@ def main():
     fit.check_model()
     fit.fit(num_steps=sz(2000, 40), key=jax.random.PRNGKey(0))
 
+    _figs.fig_elbo(fit.losses, "stereoseq_elbo.png",
+                   title="all-genes fused-NB SVI ELBO")
+    _figs.fig_phase_scatter(fit.phase_fit.phis, true_phis,
+                            "stereoseq_phase_scatter.png",
+                            title="LDA-prior phase fit vs truth")
     cc = float(circular_corrcoef(fit.phase_fit.phis, true_phis))
     print(
         f"phase fit (all {NG} genes, delta_nu=0 pinned, fused NB): "

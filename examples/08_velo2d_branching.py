@@ -5,7 +5,10 @@ velocity field, two-stage fit, correlations vs ground truth.
 """
 import jax
 
+import numpy as np
+
 from _smoke import sz
+import _figs
 from velocycle_tpu.twodim import (
     evaluate_fit, generate_adata, prepare_data, train_velo2d,
 )
@@ -23,6 +26,13 @@ def main():
     corrs = evaluate_fit(adata, results)
     for k, v in corrs.items():
         print(f"  corr[{k}] = {v:.3f}")
+    _figs.fig_quiver2d(
+        adata.obs["cell_x"].values, adata.obs["cell_y"].values,
+        results["omega"],
+        np.stack([adata.obs["omega_x"].values,
+                  adata.obs["omega_y"].values]),
+        "velo2d_quiver.png",
+    )
 
 
 if __name__ == "__main__":

@@ -54,7 +54,9 @@ MODULES = [
     ("velocycle_tpu.profiling", "Profiling / step timing"),
     ("velocycle_tpu.plots", "Plots / diagnostics"),
     ("velocycle_tpu.native", "Native C++ ingest"),
-    ("velocycle_tpu.anndata_lite", "AnnData-compatible container"),
+    ("velocycle_tpu.anndata_lite", "AnnData-compatible container + h5ad IO"),
+    ("velocycle_tpu.warmup", "Compile-cache warmup"),
+    ("velocycle_tpu.ops.special", "Special functions (Mosaic-lowerable)"),
 ]
 
 

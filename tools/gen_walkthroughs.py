@@ -66,6 +66,50 @@ WALKTHROUGHS = [
             "suite."
         ),
     },
+    {
+        "example": "04_pancreas_1d_spline.py",
+        "out": "walkthrough_pancreas_spline.md",
+        "title": "Walkthrough: 1-D pseudotime manifold with a spline basis",
+        "mirrors": "1D_Pancreas_Analysis.ipynb",
+        "figs": ["pancreas_elbo.png", "pancreas_field.png"],
+        "blurb": (
+            "Generalizing beyond the cell-cycle circle: a B-spline "
+            "expression field over a fixed differentiation pseudotime "
+            "(``basis_kind=\"spline\"``, phi conditioned), then kinetics "
+            "+ a scalar speed and the transit time over the manifold.  "
+            "The reference only demonstrates this by redefining its "
+            "models inline in a notebook; here it is a first-class "
+            "basis dispatch."
+        ),
+    },
+    {
+        "example": "06_stereoseq_spatial.py",
+        "out": "walkthrough_stereoseq.md",
+        "title": "Walkthrough: Stereo-seq-style all-genes fit",
+        "mirrors": "Stereo_seq_BrainRG.ipynb",
+        "figs": ["stereoseq_elbo.png", "stereoseq_phase_scatter.png"],
+        "blurb": (
+            "The large/noisy-data path: ALL genes (no curated set) with "
+            "data-driven nu priors, a supervised LDA phase prior from "
+            "categorical labels, joint orientation/zero-point fixes, and "
+            "the phase fit conditioned on delta_nu = 0 — carried by the "
+            "fused Pallas NB kernel."
+        ),
+    },
+    {
+        "example": "08_velo2d_branching.py",
+        "out": "walkthrough_velo2d.md",
+        "title": "Walkthrough: 2-D branching manifold with a velocity field",
+        "mirrors": "VeloCycle_2D/Velocity_Simulation_2D.ipynb",
+        "figs": ["velo2d_quiver.png"],
+        "blurb": (
+            "The 2-D research extension: simulate a Y-shaped trajectory "
+            "with a spline velocity field, two-stage fit (S field, then "
+            "U kinetics + 2-component velocity), correlations vs ground "
+            "truth — the reference's only quantitative accuracy harness "
+            "(run_simulations.py), reproduced end to end."
+        ),
+    },
 ]
 
 
