@@ -579,6 +579,9 @@ def _scale_row():
         omega_harmonics=1, noisemodel="NegativeBinomial",
         with_delta_nu=False, model_type="lrmn", rho_rank=5,
         use_fused_nb=True,
+        # shape_inv is conditioned below: its gradient is discarded, so
+        # the digamma chain is compiled out (ops/nb_kernels.py disp_grad)
+        disp_grad=False,
     )
     cond = {
         "phi_xy": vdata.phixy_prior,

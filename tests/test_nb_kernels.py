@@ -321,3 +321,53 @@ def test_softplus_sigmoid_shared():
         1.0 / (1.0 + np.exp(-np.asarray(x, np.float64))),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_disp_grad_false_matches_except_dispersion():
+    """disp_grad=False must give the identical loss and identical
+    gradients for every argument EXCEPT dispersion (whose cotangent
+    becomes zero — only valid when discarded, i.e. shape_inv
+    conditioned)."""
+    S, nu, zeta, cf, r = _inputs(Ng=40, Nc=200, seed=13)
+
+    def loss(nu_, cf_, r_, disp_grad):
+        return nb_loglik_fused(S, nu_, zeta, cf_, r_, disp_grad=disp_grad)
+
+    l_on = float(loss(nu, cf, r, True))
+    l_off = float(loss(nu, cf, r, False))
+    assert l_on == l_off
+
+    g_on = jax.grad(loss, argnums=(0, 1, 2))(nu, cf, r, True)
+    g_off = jax.grad(loss, argnums=(0, 1, 2))(nu, cf, r, False)
+    np.testing.assert_array_equal(np.asarray(g_on[0]), np.asarray(g_off[0]))
+    np.testing.assert_array_equal(np.asarray(g_on[1]), np.asarray(g_off[1]))
+    assert np.abs(np.asarray(g_on[2])).max() > 0     # real disp gradient
+    assert np.abs(np.asarray(g_off[2])).max() == 0.0  # compiled out
+
+
+def test_velocity_disp_grad_false_matches_except_dispersion():
+    from velocycle_tpu.ops.nb_kernels import nbsu_loglik_fused
+
+    rng = np.random.default_rng(7)
+    Ng, Nc, Nh = 24, 150, 3
+    S = jnp.asarray(rng.poisson(3, (Ng, Nc)).astype(np.float32))
+    U = jnp.asarray(rng.poisson(2, (Ng, Nc)).astype(np.float32))
+    nu = jnp.asarray(rng.normal(0.5, 0.4, (Ng, Nh)), jnp.float32)
+    zeta = jnp.asarray(rng.normal(0, 0.7, (Nc, Nh)), jnp.float32)
+    zdphi = jnp.asarray(rng.normal(0, 0.7, (Nc, Nh)), jnp.float32)
+    cf = jnp.asarray(rng.normal(0, 0.2, Nc), jnp.float32)
+    om = jnp.asarray(np.abs(rng.normal(0.4, 0.1, Nc)), jnp.float32)
+    lb = jnp.asarray(rng.normal(1.0, 0.3, Ng), jnp.float32)
+    lg = jnp.asarray(rng.normal(0.0, 0.3, Ng), jnp.float32)
+    r = jnp.asarray(np.abs(rng.normal(0.5, 0.2, Ng)) + 0.05, jnp.float32)
+
+    def loss(nu_, lb_, r_, disp_grad):
+        return nbsu_loglik_fused(S, U, nu_, zeta, zdphi, cf, om, lb_, lg,
+                                 r_, disp_grad=disp_grad)
+
+    assert float(loss(nu, lb, r, True)) == float(loss(nu, lb, r, False))
+    g_on = jax.grad(loss, argnums=(0, 1, 2))(nu, lb, r, True)
+    g_off = jax.grad(loss, argnums=(0, 1, 2))(nu, lb, r, False)
+    np.testing.assert_array_equal(np.asarray(g_on[0]), np.asarray(g_off[0]))
+    np.testing.assert_array_equal(np.asarray(g_on[1]), np.asarray(g_off[1]))
+    assert np.abs(np.asarray(g_off[2])).max() == 0.0

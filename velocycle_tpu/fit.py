@@ -18,6 +18,8 @@ TPU-first differences:
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,6 +59,17 @@ class _FitModel:
         self.metaparams = metaparams
         self.condition = dict(condition_on or {})
         self.condition_on = list(self.condition.keys())
+        # shape_inv conditioned (the two-stage workflow) => its gradient
+        # is discarded; compile the fused kernels without the digamma
+        # chain (their most expensive gradient — ops/nb_kernels.py)
+        if (
+            "shape_inv" in self.condition
+            and getattr(metaparams.data, "use_fused_nb", False)
+            and getattr(metaparams.data, "disp_grad", True)
+        ):
+            self.metaparams = metaparams = dataclasses.replace(
+                metaparams, data=metaparams.data.replace(disp_grad=False)
+            )
         model, guide = metaparams.model_fn, metaparams.guide_fn
         if self.condition:
             model = handlers.condition(model, data=self.condition)

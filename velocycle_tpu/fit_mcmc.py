@@ -52,6 +52,18 @@ class _SamplingFitModel:
         self.metaparams = metaparams
         self.condition = dict(condition_on or {})
         self.condition_on = list(self.condition.keys())
+        # shape_inv conditioned => its gradient is discarded; compile the
+        # fused kernels without the digamma chain (see fit._FitModel)
+        if (
+            "shape_inv" in self.condition
+            and getattr(metaparams.data, "use_fused_nb", False)
+            and getattr(metaparams.data, "disp_grad", True)
+        ):
+            import dataclasses
+
+            self.metaparams = metaparams = dataclasses.replace(
+                metaparams, data=metaparams.data.replace(disp_grad=False)
+            )
         model, guide = metaparams.model_fn, metaparams.guide_fn
         if self.condition:
             model = handlers.condition(model, data=self.condition)

@@ -80,6 +80,11 @@ class PhaseData:
     # Pallas fused NB likelihood (ops/nb_kernels.py); only used when
     # noisemodel == NegativeBinomial and with_delta_nu is False
     use_fused_nb: bool = struct.field(pytree_node=False, default=False)
+    # compile the dispersion gradient (the digamma chain — the kernels'
+    # most expensive gradient).  The fit drivers flip this to False when
+    # shape_inv is CONDITIONED (the two-stage workflow), where that
+    # gradient is discarded
+    disp_grad: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -142,6 +147,8 @@ class VelocityData:
     # Pallas fused joint S+U NB likelihood (ops/nb_kernels.py); used when
     # noisemodel == NegativeBinomial
     use_fused_nb: bool = struct.field(pytree_node=False, default=False)
+    # see PhaseData.disp_grad
+    disp_grad: bool = struct.field(pytree_node=False, default=True)
 
 
 @dataclasses.dataclass

@@ -170,6 +170,7 @@ def velocity_model(mp):
                 delta_nu if mp.with_delta_nu else None,
                 mp.Db if mp.with_delta_nu else None,
                 lgamma_k_sum=mp.lgamma_k_sum,
+                disp_grad=mp.disp_grad,
             ),
         )
         return

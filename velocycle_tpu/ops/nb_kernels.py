@@ -180,15 +180,21 @@ def _nb_lp(k, elog, a, log_r, skip_lgamma_k=False):
     return lp
 
 
-def _nb_lp_and_grads(k, a, log_r, elog, skip_k):
+def _nb_lp_and_grads(k, a, log_r, elog, skip_k, want_r=True):
     """(log-pmf, d lp/d elog, d lp/d r) with every intermediate shared —
     the single-pass kernels' workhorse.  The lgamma and digamma ratio
     differences come from ONE fused evaluation
     (`ops.special.lgamma_digamma_ratio`: shared small-k masks, shared
-    Stirling log1p/reciprocal chain, threshold 4), and softplus/sigmoid
+    Stirling log1p/reciprocal chain, threshold 2), and softplus/sigmoid
     of the shared ``log_b`` argument share one exp
     (`ops.special.softplus_sigmoid`) — together ~25% less VPU work per
-    element than the r4 standalone forms."""
+    element than the r4 standalone forms.
+
+    ``want_r=False`` (static) returns ``g_r=None`` and lets the compiler
+    dead-code-eliminate the whole digamma chain — the dispersion
+    gradient is the kernels' single most expensive gradient, and the
+    two-stage workflow CONDITIONS shape_inv in stage 2, where that
+    gradient is discarded."""
     log_b = -log_r - elog
     sp, sig = softplus_sigmoid(log_b)     # sig = b/(1+b), overflow-safe
     lgr, dgr = lgamma_digamma_ratio(k, a)
@@ -198,6 +204,8 @@ def _nb_lp_and_grads(k, a, log_r, elog, skip_k):
         lp = lp - lgamma_pos(k + 1.0)
     g_sig = a_k * sig
     g_elog = g_sig - a
+    if not want_r:
+        return lp, g_elog, None
     dlp_da = dgr + log_b - sp
     g_r = (dlp_da * (-a) + (g_sig - a)) * a  # dlp_dlogb = a - a_k*sig
     return lp, g_elog, g_r
@@ -279,7 +287,8 @@ def _phase_fwd_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     out_ref[0, 0] += tile_sum
 
 
-def _phase_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
+def _phase_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, want_disp,
+                          *refs):
     """ONE grid pass (CELL-major: cell tiles outer, gene tiles inner)
     producing the loss AND every parameter gradient.
 
@@ -314,13 +323,14 @@ def _phase_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     k = S_ref[:].astype(jnp.float32)   # counts may be stored int16/int8
 
     lp, g_elog, g_r = _nb_lp_and_grads(
-        k, 1.0 / r, jnp.log(r), elog, skip_k
+        k, 1.0 / r, jnp.log(r), elog, skip_k, want_r=want_disp
     )
     if needs_mask:   # static: only when Ng/Nc don't divide the tiles
         mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
         lp = lp * mask
         g_elog = g_elog * mask
-        g_r = g_r * mask
+        if want_disp:
+            g_r = g_r * mask
 
     @pl.when((gi == 0) & (cj == 0))
     def _():
@@ -332,7 +342,10 @@ def _phase_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     dnuP_ref[:] = jnp.dot(
         g_elog, zeta_ref[:], preferred_element_type=jnp.float32
     )
-    ddispP_ref[:] = jnp.sum(g_r, axis=1, keepdims=True)
+    if want_disp:
+        ddispP_ref[:] = jnp.sum(g_r, axis=1, keepdims=True)
+    else:
+        ddispP_ref[:] = jnp.zeros_like(ddispP_ref)
     if has_dnu:
         ddnuTP_ref[:] = jnp.dot(
             g_elog, Db_ref[:].T, preferred_element_type=jnp.float32
@@ -427,9 +440,52 @@ def _phase_fused_impl(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
     return total
 
 
-@jax.custom_vjp
+def _make_phase_fused(want_disp):
+    """custom_vjp instance pair keyed by the static dispersion-gradient
+    flag (a traced bool cannot select a compile-time branch)."""
+
+    @jax.custom_vjp
+    def f(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
+          lgamma_k_sum):
+        return _phase_fused_impl(
+            S, nu, zeta, count_factor, dispersion, delta_nu, Db,
+            lgamma_k_sum
+        )
+
+    def fwd(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
+            lgamma_k_sum):
+        # one kernel pass for loss + grads; the backward is a scalar
+        # scale (gradients of a scalar-sum loss don't depend on the
+        # cotangent)
+        return _phase_fwdgrad_impl(
+            S, nu, zeta, count_factor, dispersion, delta_nu, Db,
+            lgamma_k_sum, want_disp=want_disp,
+        )
+
+    def bwd(residuals, g):
+        dnu, dzeta, dcf, ddisp, d_dnu = residuals
+        g = jnp.asarray(g, jnp.float32)
+        return (
+            None,
+            g * dnu,
+            g * dzeta,
+            g * dcf,
+            g * ddisp,
+            None if d_dnu is None else g * d_dnu,
+            None,
+            None,  # lgamma_k_sum is a dataset constant
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_PHASE_FUSED = {True: _make_phase_fused(True), False: _make_phase_fused(False)}
+
+
 def nb_loglik_fused(S, nu, zeta, count_factor, dispersion,
-                    delta_nu=None, Db=None, lgamma_k_sum=None):
+                    delta_nu=None, Db=None, lgamma_k_sum=None,
+                    disp_grad=True):
     """Fused ``sum NB_logpmf(S | nu @ zeta^T [+ dnu offsets] + cf, r)``.
 
     INTEGER-COUNT REQUIREMENT: the kernel's lgamma/digamma ratio forms
@@ -451,17 +507,22 @@ def nb_loglik_fused(S, nu, zeta, count_factor, dispersion,
       lgamma_k_sum: optional precomputed ``sum(lgamma(S + 1))`` — a
         dataset constant; providing it removes one full-tile lgamma from
         the forward kernel (~25% of its VPU cost).
+      disp_grad: STATIC; pass False when the dispersion gradient is
+        unused (e.g. shape_inv conditioned in the two-stage workflow) —
+        the digamma chain, the single most expensive gradient, is then
+        compiled out and the returned dispersion cotangent is ZERO (not
+        the true gradient — only valid when it is discarded).
 
     Returns a scalar; differentiable w.r.t. nu, zeta, count_factor,
     dispersion and delta_nu (S and Db are data).
     """
-    return _phase_fused_impl(
+    return _PHASE_FUSED[bool(disp_grad)](
         S, nu, zeta, count_factor, dispersion, delta_nu, Db, lgamma_k_sum
     )
 
 
 def _phase_fwdgrad_impl(S, nu, zeta, count_factor, dispersion, delta_nu,
-                        Db, lgamma_k_sum):
+                        Db, lgamma_k_sum, want_disp=True):
     """Single-pass loss + all gradients (see `_phase_fwdgrad_kernel`)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -510,7 +571,7 @@ def _phase_fwdgrad_impl(S, nu, zeta, count_factor, dispersion, delta_nu,
     outs = pl.pallas_call(
         functools.partial(
             _phase_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k,
-            (Gp != Ng) or (Cp != Nc),
+            (Gp != Ng) or (Cp != Nc), want_disp,
         ),
         grid=(n_c, n_g),
         in_specs=_phase_in_specs(Nh, Nb, has_dnu, False, tg, tc),
@@ -535,34 +596,6 @@ def _phase_fwdgrad_impl(S, nu, zeta, count_factor, dispersion, delta_nu,
     dzeta = dzetaA[:Nh].T[:Nc]
     dcf = dcfA[0, :Nc]
     return total, (dnu, dzeta, dcf, ddisp, d_dnu)
-
-
-def _phase_fused_fwd(S, nu, zeta, count_factor, dispersion, delta_nu, Db,
-                     lgamma_k_sum):
-    # under differentiation, compute loss AND grads in one kernel pass;
-    # gradients of a scalar-sum loss don't depend on the cotangent, so the
-    # backward is a scalar scale of the stored residuals
-    return _phase_fwdgrad_impl(
-        S, nu, zeta, count_factor, dispersion, delta_nu, Db, lgamma_k_sum
-    )
-
-
-def _phase_fused_bwd(residuals, g):
-    dnu, dzeta, dcf, ddisp, d_dnu = residuals
-    g = jnp.asarray(g, jnp.float32)
-    return (
-        None,
-        g * dnu,
-        g * dzeta,
-        g * dcf,
-        g * ddisp,
-        None if d_dnu is None else g * d_dnu,
-        None,
-        None,  # lgamma_k_sum is a dataset constant
-    )
-
-
-nb_loglik_fused.defvjp(_phase_fused_fwd, _phase_fused_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -626,7 +659,8 @@ def _velo_fwd_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     out_ref[0, 0] += tile_sum
 
 
-def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
+def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, want_disp,
+                         *refs):
     """ONE grid pass (gene-major) producing loss + every gradient — the
     velocity-stage twin of `_phase_fwdgrad_kernel` (see its docstring for
     the design: CELL-major grid, big cell-indexed grads accumulate in
@@ -658,16 +692,19 @@ def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     kS = S_ref[:].astype(jnp.float32)
     kU = U_ref[:].astype(jnp.float32)
 
-    lpS, gS, g_rS = _nb_lp_and_grads(kS, a, log_r, elogS, skip_k)
-    lpU, gU, g_rU = _nb_lp_and_grads(kU, a, log_r, elogU, skip_k)
+    lpS, gS, g_rS = _nb_lp_and_grads(kS, a, log_r, elogS, skip_k,
+                                     want_r=want_disp)
+    lpU, gU, g_rU = _nb_lp_and_grads(kU, a, log_r, elogU, skip_k,
+                                     want_r=want_disp)
 
     lp = lpS + lpU
-    g_r = g_rS + g_rU
+    g_r = (g_rS + g_rU) if want_disp else None
     if needs_mask:
         mask = _tile_mask(gi, cj, Ng, Nc, *S_ref.shape)
         lp = lp * mask
         gS, gU = gS * mask, gU * mask
-        g_r = g_r * mask
+        if want_disp:
+            g_r = g_r * mask
 
     @pl.when((gi == 0) & (cj == 0))
     def _():
@@ -686,7 +723,10 @@ def _velo_fwdgrad_kernel(Ng, Nc, has_dnu, skip_k, needs_mask, *refs):
     )
     dlbetaP_ref[:] = jnp.sum(-gU, axis=1, keepdims=True)
     dlgammaP_ref[:] = jnp.sum(g_x, axis=1, keepdims=True) * gamma
-    ddispP_ref[:] = jnp.sum(g_r, axis=1, keepdims=True)
+    if want_disp:
+        ddispP_ref[:] = jnp.sum(g_r, axis=1, keepdims=True)
+    else:
+        ddispP_ref[:] = jnp.zeros_like(ddispP_ref)
     if has_dnu:
         ddnuTP_ref[:] = jnp.dot(
             g_elogS, Db_ref[:].T, preferred_element_type=jnp.float32
@@ -797,10 +837,57 @@ def _velo_fused_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
     return total
 
 
-@jax.custom_vjp
+def _make_velo_fused(want_disp):
+    """custom_vjp instance pair keyed by the static dispersion-gradient
+    flag (see `_make_phase_fused`)."""
+
+    @jax.custom_vjp
+    def f(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
+          log_gamma, dispersion, delta_nu, Db, lgamma_k_sum):
+        return _velo_fused_impl(
+            S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
+            log_gamma, dispersion, delta_nu, Db, lgamma_k_sum
+        )
+
+    def fwd(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
+            log_gamma, dispersion, delta_nu, Db, lgamma_k_sum):
+        return _velo_fwdgrad_impl(
+            S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
+            log_gamma, dispersion, delta_nu, Db, lgamma_k_sum,
+            want_disp=want_disp,
+        )
+
+    def bwd(residuals, g):
+        (dnu, dzeta, dzdphi, dcf, domega, dlbeta, dlgamma, ddisp,
+         d_dnu) = residuals
+        g = jnp.asarray(g, jnp.float32)
+        return (
+            None,
+            None,
+            g * dnu,
+            g * dzeta,
+            g * dzdphi,
+            g * dcf,
+            g * domega,
+            g * dlbeta,
+            g * dlgamma,
+            g * ddisp,
+            None if d_dnu is None else g * d_dnu,
+            None,
+            None,  # lgamma_k_sum is a dataset constant
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_VELO_FUSED = {True: _make_velo_fused(True), False: _make_velo_fused(False)}
+
+
 def nbsu_loglik_fused(S, U, nu, zeta, zeta_dphi, count_factor, omega,
                       log_beta, log_gamma, dispersion,
-                      delta_nu=None, Db=None, lgamma_k_sum=None):
+                      delta_nu=None, Db=None, lgamma_k_sum=None,
+                      disp_grad=True):
     """Fused velocity-stage joint NB log-likelihood of S and U.
 
     The ElogS/ElogU/dEs (Ng, Nc) intermediates stay in VMEM; differentiable
@@ -811,8 +898,13 @@ def nbsu_loglik_fused(S, U, nu, zeta, zeta_dphi, count_factor, omega,
 
     ``S`` and ``U`` must be integer-valued (raw counts): the ratio-form
     specials are exact only for integer k — see `nb_loglik_fused`.
+
+    ``disp_grad=False`` (STATIC) compiles out the digamma chain for both
+    matrices and returns a ZERO dispersion cotangent — only valid when
+    that gradient is discarded (shape_inv conditioned, the tutorials'
+    stage-2 workflow).
     """
-    return _velo_fused_impl(
+    return _VELO_FUSED[bool(disp_grad)](
         S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
         dispersion, delta_nu, Db, lgamma_k_sum
     )
@@ -820,7 +912,7 @@ def nbsu_loglik_fused(S, U, nu, zeta, zeta_dphi, count_factor, omega,
 
 def _velo_fwdgrad_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
                        log_beta, log_gamma, dispersion, delta_nu, Db,
-                       lgamma_k_sum):
+                       lgamma_k_sum, want_disp=True):
     """Single-pass loss + all gradients (see `_velo_fwdgrad_kernel`)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -874,7 +966,7 @@ def _velo_fwdgrad_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
     outs = pl.pallas_call(
         functools.partial(
             _velo_fwdgrad_kernel, Ng, Nc, has_dnu, skip_k,
-            (Gp != Ng) or (Cp != Nc),
+            (Gp != Ng) or (Cp != Nc), want_disp,
         ),
         grid=(n_c, n_g),
         in_specs=_velo_in_specs(Nh, Nb, has_dnu, False, tg, tc),
@@ -910,35 +1002,3 @@ def _velo_fwdgrad_impl(S, U, nu, zeta, zeta_dphi, count_factor, omega,
                    dlbeta, dlgamma, ddisp, d_dnu)
 
 
-def _velo_fused_fwd(S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta,
-                    log_gamma, dispersion, delta_nu, Db, lgamma_k_sum):
-    # one kernel pass for loss + grads; backward is a scalar scale (the
-    # gradients of a scalar-sum loss don't depend on the cotangent)
-    return _velo_fwdgrad_impl(
-        S, U, nu, zeta, zeta_dphi, count_factor, omega, log_beta, log_gamma,
-        dispersion, delta_nu, Db, lgamma_k_sum
-    )
-
-
-def _velo_fused_bwd(residuals, g):
-    (dnu, dzeta, dzdphi, dcf, domega, dlbeta, dlgamma, ddisp,
-     d_dnu) = residuals
-    g = jnp.asarray(g, jnp.float32)
-    return (
-        None,
-        None,
-        g * dnu,
-        g * dzeta,
-        g * dzdphi,
-        g * dcf,
-        g * domega,
-        g * dlbeta,
-        g * dlgamma,
-        g * ddisp,
-        None if d_dnu is None else g * d_dnu,
-        None,
-        None,  # lgamma_k_sum is a dataset constant
-    )
-
-
-nbsu_loglik_fused.defvjp(_velo_fused_fwd, _velo_fused_bwd)
