@@ -63,7 +63,8 @@ def generate(artifact, name):
       "not edit the tables by hand; re-run the generator after a bench "
       "run.**")
     w("")
-    w("All numbers are driver-captured on one TPU v5e (lite) chip through "
+    w("All numbers are captured by the bench harness (`bench.py` — the "
+      "same program the round driver runs) on one TPU v5e (lite) chip through "
       "this environment's remote relay (dispatch ~50 ms; steady-state "
       "rates exclude compile unless stated).  Reference anchors are the "
       "runtimes recorded in the upstream tutorial notebooks on a 2019 "
@@ -305,9 +306,12 @@ def divergence_section(primary, primary_name, other, other_name,
         out += [
             f"Rows whose headline rate differs by more than {threshold}x "
             f"between `{primary_name}` (tables above) and "
-            f"`{other_name}` — the remote-relay link makes some "
-            "wall-clock rows noisy; treat the larger value as the "
-            "hardware's capability and the spread as relay variance:",
+            f"`{other_name}`.  When the two artifacts come from the SAME "
+            "code, the spread is remote-relay variance (treat the larger "
+            "value as the hardware's capability); when they span code "
+            "changes (e.g. different rounds), real regressions or "
+            "improvements show up here too — check the git log between "
+            "the artifacts:",
             "",
             f"| Row | metric | {primary_name} | {other_name} | ratio |",
             "|---|---|---|---|---|",
@@ -341,12 +345,20 @@ def main():
                  != os.path.abspath(path)]
         if cands:
             others = [max(cands, key=os.path.getmtime)]
-    if others:
-        other = load(others[0])
+    while others:
+        # a driver artifact can carry a TRUNCATED stdout tail (BENCH_r04
+        # does) — fall back to the next-newest comparable artifact
+        try:
+            other = load(others[0])
+        except SystemExit:
+            cands = [c for c in cands if c != others[0]]
+            others = [max(cands, key=os.path.getmtime)] if cands else []
+            continue
         text += "\n" + divergence_section(
             artifact, os.path.basename(path),
             other, os.path.basename(others[0]),
         )
+        break
     out_path = os.path.join(REPO, "docs", "performance.md")
     with open(out_path, "w") as f:
         f.write(text)
