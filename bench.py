@@ -62,7 +62,7 @@ GROUPS = [
     ("scale", 540),
     ("smc", 420),
     ("nuts", 360),
-    ("nuts_phi", 420),
+    ("nuts_phi", 560),
     ("parity", 240),
     ("svi5", 420),
 ]
@@ -326,6 +326,55 @@ def _nuts_phi_row():
                 "reference sidesteps with the 2-vector trick — and the "
                 "one that MIXES at scale (the phi_xy posterior is a thin "
                 "curved arc per cell; see the nuts_phi_xy row)",
+    })
+
+    # BASELINE config #4's 256-chain count.  At 256 chains x 150 draws
+    # the split-R-hat statistic resolves something real: several hundred
+    # of the 2,000 cells have genuinely BIMODAL phase posteriors
+    # (phi vs phi+pi), chains visit the minority modes, and per-cell
+    # cross-mode hop rates are slow relative to 150 draws — so R-hat
+    # flags those coordinates even though within-mode mixing is
+    # essentially iid.  The row reports both sides: median R-hat /
+    # median ESS (mixing) and the fraction of multimodality-flagged
+    # coordinates + the minority-mode mass they carry (posterior truth
+    # an SVI MAP fit cannot represent at all).
+    fm_w256 = MCMCFitModel(
+        mp_w, condition_on=cond, num_chains=256, num_warmup=warmup,
+        num_samples=samples, svi_steps=400, block_sites=(),
+        max_depth=6, init_jitter=0.25,
+    )
+    t0 = time.perf_counter()
+    fm_w256.run(jax.random.PRNGKey(11))
+    dt = time.perf_counter() - t0
+    rhat = fm_w256.summary["phi"]["rhat"].reshape(-1)
+    phi_draws = fm_w256.posterior["phi"]
+    mean_ang = np.angle(np.exp(1j * phi_draws).mean(0))
+    dev = np.angle(np.exp(1j * (phi_draws - mean_ang[None, :])))
+    minority = (np.abs(dev) > np.pi / 2).mean(0)
+    cc_w256 = float(circular_corrcoef(fm_w256.phase_fit.phis, svi_phis))
+    _emit({
+        "row": "nuts_phi_wrapped_256",
+        "samples_per_s": round(256 * samples / dt, 1),
+        "median_split_rhat": round(float(np.nanmedian(rhat)), 3),
+        "max_split_rhat": round(float(np.nanmax(rhat)), 3),
+        "frac_rhat_gt_105": round(float((rhat > 1.05).mean()), 3),
+        "median_ess": round(fm_w256.diagnostics["median_ess"], 1),
+        "accept_rate": round(fm_w256.diagnostics["accept_rate"], 3),
+        "phi_circ_corr_vs_svi": round(cc_w256, 4),
+        "bimodal_cells_gt5pct": int((minority > 0.05).sum()),
+        "chains": 256,
+        "wall_s": round(dt, 1),
+        "note": "BASELINE config #4 chain count (256, one chip — the pod "
+                "story shards this same vmap axis).  Several hundred "
+                "cells have genuinely BIMODAL phase posteriors (phi vs "
+                "phi+pi; bimodal_cells counts those with >5% minority "
+                "mass) — posterior structure an SVI MAP cannot represent "
+                "— and the sampler visits both modes.  When a warmup "
+                "realization adapts a step too small to hop modes "
+                "freely, max split-R-hat flags exactly those "
+                "coordinates (a multimodality detector, not a mixing "
+                "failure: median R-hat stays ~1.0 and median ESS ~1e4); "
+                "64-chain gate row: nuts_phi_wrapped",
     })
 
     # the reference's phi_xy 2-vector parametrization at the same scale:
