@@ -66,7 +66,7 @@ import jax.numpy as jnp
 
 from .likelihoods import nb_logpmf
 from .special import (
-    lgamma_digamma_ratio, lgamma_pos, lgamma_ratio, softplus,
+    lgamma_digamma_ratio, lgamma_pos, softplus,
     softplus_sigmoid,
 )
 
@@ -165,16 +165,13 @@ def _nb_lp(k, elog, a, log_r, skip_lgamma_k=False):
 
     ``skip_lgamma_k=True`` omits the ``-lgamma(k+1)`` term — it depends
     only on the observed counts, so its (masked) sum is precomputable once
-    per dataset and added outside the kernel.  The lgamma-RATIO form
-    (`ops.special.lgamma_ratio`) replaces two Lanczos series with 8
-    masked adds (k < 8, i.e. most count entries) or a Stirling difference
-    — the kernels are VPU-bound on exactly this function."""
+    per dataset and added outside the kernel.  The lgamma difference uses
+    the fused threshold-2 ratio evaluation (`ops.special.
+    lgamma_digamma_ratio`; its digamma half is unused here and dead-code-
+    eliminates) — the kernels are VPU-bound on exactly this function."""
     log_b = -log_r - elog
-    lp = (
-        lgamma_ratio(k, a)
-        + a * log_b
-        - (a + k) * softplus(log_b)
-    )
+    lgr, _ = lgamma_digamma_ratio(k, a)
+    lp = lgr + a * log_b - (a + k) * softplus(log_b)
     if not skip_lgamma_k:
         lp = lp - lgamma_pos(k + 1.0)
     return lp
