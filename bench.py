@@ -56,14 +56,18 @@ BASELINES = {
 # the remaining global budget.  `warm` is a throwaway pre-pass: it wakes
 # the relay tunnel and seeds the persistent compile cache so the first
 # timed group never pays relay cold-start.
+# order: the sacrificial warm-up, then the headline metric, then the
+# at-scale groups; parity is cheap and high-value so it runs BEFORE the
+# long nuts_phi group (a slow relay day must not cost the kernel-parity
+# row); svi5 is last because it re-captures phase_1s as a fallback
 GROUPS = [
     ("warm", 150),
     ("headline", 360),
     ("scale", 540),
+    ("parity", 240),
     ("smc", 420),
     ("nuts", 360),
     ("nuts_phi", 560),
-    ("parity", 240),
     ("svi5", 420),
 ]
 GLOBAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", 1800))
